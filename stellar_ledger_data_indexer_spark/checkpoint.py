@@ -1,0 +1,103 @@
+"""Exactly-once epoch checkpointing + lineage + metrics tables.
+
+The reference derives its resume position from the sink
+(``SELECT MAX(ledger_sequence)``, reference: internal/db/utils.go:61-71)
+and relies on idempotent conditional upserts for replay safety
+(docs/devops.md:10-13). We keep that derivation (see
+``IngestJob.max_seq_in_sink``) but make the commit explicit: a
+``_checkpoints`` table gains one row per applied epoch, written strictly
+AFTER the target table's merge snapshots commit. The crash matrix:
+
+- crash before target merge        → epoch absent → re-run, clean apply
+- crash after merge, before marker → epoch absent → re-run; the strict
+  ``b.seq > t.seq`` LWW condition makes re-application a no-op
+- crash after marker               → epoch present → skipped entirely
+
+``_lineage`` records per-bucket (per-partition) row counts for every
+epoch, taken from the committed manifest's file statistics — zero extra
+Spark jobs. ``_metrics`` is the Prometheus analog
+(internal/utils/metrics.go:32-152) as an appendable table.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .lake.table import LakeTable
+from .schema import CHECKPOINTS, LINEAGE, METRICS
+
+
+class CheckpointLog:
+    def __init__(self, path: str):
+        self.table = (LakeTable(path) if LakeTable.exists(path)
+                      else LakeTable.create(path, CHECKPOINTS))
+
+    def committed_epochs(self, spark: SparkSession) -> set[int]:
+        if not self.table.refresh().files:
+            return set()
+        rows = self.table.read(spark).select("epoch_id").collect()
+        return {int(r["epoch_id"]) for r in rows}
+
+    def is_committed(self, spark: SparkSession, epoch_id: int) -> bool:
+        return epoch_id in self.committed_epochs(spark)
+
+    def max_committed_hi(self, spark: SparkSession) -> int:
+        """Resume watermark (≙ S3 — coalesce(max, 0) matches the
+        reference's empty-table → 0 behavior, internal/main.go:170-174)."""
+        if not self.table.refresh().files:
+            return 0
+        row = self.table.read(spark).agg(
+            F.coalesce(F.max("hi_seq"), F.lit(0)).alias("m")).collect()[0]
+        return int(row["m"])
+
+    def commit(self, spark: SparkSession, epoch_id: int, lo: int, hi: int,
+               target_snapshot: int, rows_upserted: int,
+               rows_enriched: int) -> None:
+        from datetime import datetime, timezone
+        df = spark.createDataFrame(
+            [(epoch_id, lo, hi, target_snapshot, rows_upserted,
+              rows_enriched, datetime.now(timezone.utc))], CHECKPOINTS)
+        self.table.append(df.select([f.name for f in CHECKPOINTS.fields]))
+
+
+class LineageLog:
+    def __init__(self, path: str):
+        self.table = (LakeTable(path) if LakeTable.exists(path)
+                      else LakeTable.create(path, LINEAGE))
+
+    def record_from_manifest(self, spark: SparkSession, epoch_id: int,
+                             target: LakeTable, buckets: list[int],
+                             rows_in_by_bucket: dict[int, int] | None = None)\
+            -> None:
+        """Per-partition lineage from the freshly committed manifest: the
+        new row count of every bucket this epoch rewrote."""
+        if not buckets:
+            return
+        counts: dict[int, int] = {b: 0 for b in buckets}
+        for f in target.refresh().files:
+            if f.bucket in counts:
+                counts[f.bucket] += f.rows
+        rows = [(epoch_id, b, (rows_in_by_bucket or {}).get(b), counts[b])
+                for b in buckets]
+        self.table.append(spark.createDataFrame(rows, LINEAGE))
+
+
+class MetricsLog:
+    def __init__(self, path: str):
+        self.table = (LakeTable(path) if LakeTable.exists(path)
+                      else LakeTable.create(path, METRICS))
+
+    def record(self, spark: SparkSession, epoch_id: int, dataset: str,
+               rows_read: int | None, rows_deduped: int | None,
+               rows_matched: int | None, rows_inserted: int | None,
+               rows_updated: int | None, wall_secs: float) -> None:
+        self.table.append(spark.createDataFrame(
+            [(epoch_id, dataset, rows_read, rows_deduped, rows_matched,
+              rows_inserted, rows_updated, float(wall_secs))], METRICS))
+
+
+def now() -> float:
+    return time.monotonic()

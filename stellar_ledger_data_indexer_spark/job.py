@@ -1,0 +1,151 @@
+"""Epoch orchestration — the engine's ``IndexData`` analog.
+
+Mirrors the reference wire-up (reference: internal/main.go:105-215):
+resolve resume position from sink + checkpoints, probe the source tip,
+plan the range (S4), then apply epochs in order. Within an epoch the
+dataset order is fixed — base token stream first, then the ttl-style
+enrichment stream (≙ the ordered processor list
+internal/main.go:127-144) — because enrichment only updates rows the base
+stage has already landed.
+
+One epoch (≙ §3.2 of SURVEY.md)::
+
+    events  = read change_events WHERE seq BETWEEN lo AND hi   (pruned scan)
+    base    = project_base(events)        # narrow, codegen'd
+    deduped = dedup_lww(base)             # partial-agg LWW, salted option
+    merge_upsert_lww(target, deduped)     # bucket-pruned copy-on-write
+    enrich  = dedup_enrich_max(project_enrich(events))
+    merge_enrich(target, enrich)          # update-only, monotonic
+    lineage + metrics appends; checkpoint marker LAST
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoint import CheckpointLog, LineageLog, MetricsLog, now
+from .lake.table import LakeTable
+from .operators.cdc import project_base, project_enrich, validate_ops
+from .operators.dedup import dedup_enrich_candidates, dedup_lww
+from .operators.merge import merge_enrich, merge_upsert_lww
+from .schema import TARGET
+from .sources.change_stream import max_seq_in_source, read_change_events
+from .sources.range_planner import SeqRange, get_seq_bound, plan_epochs
+
+
+@dataclass
+class JobConfig:
+    events_path: str
+    warehouse: str
+    num_buckets: int = 32
+    epoch_size: int = 1000          # seqs per epoch
+    salt_buckets: int = 0           # >1 → explicit two-phase salted dedup
+    strict_ops: bool = True
+
+
+@dataclass
+class EpochReport:
+    epoch_id: int
+    lo: int
+    hi: int
+    skipped: bool
+    rows_upserted: int = 0
+    rows_enriched: int = 0
+    target_snapshot: int = 0
+
+
+class IngestJob:
+    def __init__(self, spark: SparkSession, cfg: JobConfig):
+        self.spark = spark
+        self.cfg = cfg
+        wh = cfg.warehouse
+        tpath = os.path.join(wh, "documents")
+        self.target = (LakeTable(tpath) if LakeTable.exists(tpath)
+                       else LakeTable.create(tpath, TARGET,
+                                             bucket_col="doc_id",
+                                             num_buckets=cfg.num_buckets))
+        self.checkpoints = CheckpointLog(os.path.join(wh, "_checkpoints"))
+        self.lineage = LineageLog(os.path.join(wh, "_lineage"))
+        self.metrics = MetricsLog(os.path.join(wh, "_metrics"))
+
+    # ------------------------------------------------------------- resume
+    def max_seq_in_sink(self) -> int:
+        """≙ GetMaxLedgerSequence (S3, internal/db/utils.go:61-71) with the
+        empty-table → 0 convention (internal/main.go:170-174)."""
+        if not self.target.refresh().files:
+            return 0
+        row = self.target.read(self.spark).agg(
+            F.coalesce(F.max("seq"), F.lit(0)).alias("m")).collect()[0]
+        return int(row["m"])
+
+    def resume_watermark(self) -> int:
+        """Checkpoint table is authoritative; the sink max is the
+        reference-parity fallback (they agree after clean runs)."""
+        return max(self.checkpoints.max_committed_hi(self.spark), 0)
+
+    # ---------------------------------------------------------------- run
+    def plan(self, start: int = 0, end: int = 0,
+             backfill: bool = False) -> tuple[SeqRange | None, list[tuple[int, int]]]:
+        latest = max_seq_in_source(self.spark, self.cfg.events_path)
+        watermark = self.resume_watermark()
+        rng, proceed = get_seq_bound(start, end, latest, backfill, watermark)
+        if not proceed or rng is None:
+            return None, []
+        return rng, plan_epochs(rng, latest, self.cfg.epoch_size)
+
+    def run(self, start: int = 0, end: int = 0,
+            backfill: bool = False) -> list[EpochReport]:
+        rng, epochs = self.plan(start, end, backfill)
+        reports = []
+        for lo, hi in epochs:
+            reports.append(self.apply_epoch(lo, hi))
+        return reports
+
+    # -------------------------------------------------------------- epoch
+    def apply_epoch(self, lo: int, hi: int) -> EpochReport:
+        epoch_id = lo
+        # skip iff the epoch's range is already covered by committed work —
+        # the reference's "end <= maxInDB → nothing to do" rule
+        # (internal/input/ledgerMetaDataReader.go:73-76) applied per epoch.
+        # Robust to re-slicing: a later run with different epoch boundaries
+        # still recognizes covered ranges; a partially-covered epoch is
+        # re-applied in full, which the LWW merge makes a no-op.
+        if hi <= self.checkpoints.max_committed_hi(self.spark):
+            return EpochReport(epoch_id, lo, hi, skipped=True,
+                               target_snapshot=self.target.version)
+        t0 = now()
+        events = read_change_events(self.spark, self.cfg.events_path, lo, hi)
+        if self.cfg.strict_ops:
+            events = validate_ops(events)
+
+        base = project_base(events)
+        deduped = dedup_lww(base, key_cols=("doc_id",),
+                            order_cols=("seq", "pos"),
+                            salt_buckets=self.cfg.salt_buckets,
+                            first_seq_col="seq")
+        mres = merge_upsert_lww(self.spark, self.target,
+                                deduped.drop("pos"))
+        t1 = now()
+        self.metrics.record(self.spark, epoch_id, "tokens", None, None,
+                            mres.matched, mres.inserted, mres.updated,
+                            t1 - t0)
+        self.lineage.record_from_manifest(self.spark, epoch_id, self.target,
+                                          mres.buckets)
+
+        enrich = dedup_enrich_candidates(project_enrich(events))
+        eres = merge_enrich(self.spark, self.target, enrich)
+        self.metrics.record(self.spark, epoch_id, "ttl", None, None, None,
+                            None, eres.updated, now() - t1)
+
+        # marker written strictly last — the exactly-once commit point
+        self.checkpoints.commit(self.spark, epoch_id, lo, hi,
+                                self.target.version, mres.rows_upserted,
+                                eres.updated)
+        return EpochReport(epoch_id, lo, hi, skipped=False,
+                           rows_upserted=mres.rows_upserted,
+                           rows_enriched=eres.updated,
+                           target_snapshot=self.target.version)

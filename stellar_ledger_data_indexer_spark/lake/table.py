@@ -1,0 +1,449 @@
+"""LakeTable — a from-scratch snapshot-committed parquet table format.
+
+The design target (BASELINE.json north_rule) calls for Iceberg-table
+semantics: atomic snapshot commits, conditional MERGE, schema evolution via
+field ids, time travel. No Iceberg runtime jar is available in this
+environment (offline, PySpark-only), so this module implements the same
+semantics natively over parquet + JSON manifests. It plays the role the
+Postgres database plays in the reference (transactional keyed sink,
+reference: internal/db/utils.go:74-130; migrations applied at session open,
+internal/db/utils.go:47-55).
+
+Layout of a table rooted at ``path``::
+
+    path/
+      _meta/v00000001.json ...   # one immutable manifest per snapshot
+      data/<commit-uuid>/_bucket=N/part-*.parquet
+
+A manifest lists every live data file with its bucket and schema version.
+Commit protocol (single atomic step): write data files into a fresh
+commit directory, serialize the new manifest to a temp file, then
+``os.link`` it to ``v{n+1}.json`` — the hard-link fails if the version
+already exists, giving optimistic-concurrency semantics (the analog of the
+reference's per-batch transaction + retry, internal/utils/postgres.go:39-77;
+here a failed commit leaves only unreferenced data files, never a partial
+table state). Readers always resolve the latest manifest by scanning
+``_meta`` — a crash between data write and manifest link simply leaves
+orphans that compaction can sweep.
+
+Partitioning: hash buckets on a key column, ``pmod(xxhash64(key), N)``.
+Bucketing gives MERGE its pruning: a change batch only rewrites the buckets
+it touches (copy-on-write), the analog of Iceberg's
+``bucket(N, key)`` partition transform. At 100 TB the bucket count is the
+rewrite-granularity knob: more buckets → smaller rewrites per epoch but more
+files; the manifest cost stays O(files), not O(rows).
+
+Schema evolution: each manifest carries a map schema_version → field list
+``{id, name, type, nullable}``; data files record the schema version they
+were written under. Reads map old physical columns to current names by
+field id (rename-safe) and null-fill added columns — the same id-based
+column mapping Iceberg uses, and the analog of the reference's additive SQL
+migrations (internal/db/migrations/20260203-add-ttl-to-contract-data.sql).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_DIR = "_meta"
+DATA_DIR = "data"
+BUCKET_COL = "_bucket"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first; reload and retry."""
+
+
+def _field_to_json(fid: int, f: T.StructField) -> dict[str, Any]:
+    return {"id": fid, "name": f.name, "type": f.dataType.json(),
+            "nullable": f.nullable}
+
+
+def _field_from_json(d: dict[str, Any]) -> T.StructField:
+    return T.StructField(d["name"], T._parse_datatype_json_string(d["type"]),
+                         d["nullable"])
+
+
+@dataclass
+class DataFile:
+    path: str              # relative to table root
+    bucket: int | None
+    rows: int
+    schema_version: int
+    min_seq: int | None = None
+    max_seq: int | None = None
+
+    def to_json(self) -> dict[str, Any]:
+        return {"path": self.path, "bucket": self.bucket, "rows": self.rows,
+                "schema_version": self.schema_version,
+                "min_seq": self.min_seq, "max_seq": self.max_seq}
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "DataFile":
+        return DataFile(d["path"], d["bucket"], d["rows"],
+                        d["schema_version"], d.get("min_seq"), d.get("max_seq"))
+
+
+class LakeTable:
+    """A snapshot-versioned, bucket-partitioned parquet table."""
+
+    def __init__(self, path: str, version: int | None = None):
+        self.path = os.path.abspath(path)
+        self.manifest = self._load_manifest(version)
+
+    # ------------------------------------------------------------- creation
+    @staticmethod
+    def create(path: str, schema: T.StructType, bucket_col: str | None = None,
+               num_buckets: int = 0,
+               properties: dict[str, str] | None = None) -> "LakeTable":
+        path = os.path.abspath(path)
+        meta = os.path.join(path, META_DIR)
+        os.makedirs(meta, exist_ok=True)
+        os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
+        fields = [_field_to_json(i + 1, f) for i, f in enumerate(schema.fields)]
+        manifest = {
+            "version": 1,
+            "parent": None,
+            "operation": "create",
+            "schema_version": 1,
+            "schemas": {"1": fields},
+            "next_field_id": len(fields) + 1,
+            "partition": ({"bucket_col": bucket_col, "num_buckets": num_buckets}
+                          if bucket_col else None),
+            "files": [],
+            "properties": properties or {},
+            "summary": {},
+            "committed_at": time.time(),
+        }
+        LakeTable._write_manifest(path, manifest)
+        return LakeTable(path)
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        meta = os.path.join(os.path.abspath(path), META_DIR)
+        return os.path.isdir(meta) and any(
+            n.startswith("v") and n.endswith(".json") for n in os.listdir(meta))
+
+    # ------------------------------------------------------------ manifests
+    def _load_manifest(self, version: int | None) -> dict[str, Any]:
+        meta = os.path.join(self.path, META_DIR)
+        if version is None:
+            versions = [int(n[1:-5]) for n in os.listdir(meta)
+                        if n.startswith("v") and n.endswith(".json")]
+            if not versions:
+                raise FileNotFoundError(f"no manifests in {meta}")
+            version = max(versions)
+        with open(os.path.join(meta, f"v{version:08d}.json")) as fh:
+            return json.load(fh)
+
+    @staticmethod
+    def _write_manifest(path: str, manifest: dict[str, Any]) -> None:
+        meta = os.path.join(path, META_DIR)
+        tmp = os.path.join(meta, f".tmp-{uuid.uuid4().hex}.json")
+        final = os.path.join(meta, f"v{manifest['version']:08d}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)  # atomic, fails if version exists
+        except FileExistsError as e:
+            raise CommitConflict(f"snapshot v{manifest['version']} exists") from e
+        finally:
+            os.unlink(tmp)
+
+    def refresh(self) -> "LakeTable":
+        self.manifest = self._load_manifest(None)
+        return self
+
+    # ------------------------------------------------------------ accessors
+    @property
+    def version(self) -> int:
+        return self.manifest["version"]
+
+    @property
+    def schema_version(self) -> int:
+        return self.manifest["schema_version"]
+
+    def schema(self, schema_version: int | None = None) -> T.StructType:
+        sv = schema_version or self.schema_version
+        return T.StructType(
+            [_field_from_json(d) for d in self.manifest["schemas"][str(sv)]])
+
+    def _fields(self, sv: int) -> list[dict[str, Any]]:
+        return self.manifest["schemas"][str(sv)]
+
+    @property
+    def files(self) -> list[DataFile]:
+        return [DataFile.from_json(d) for d in self.manifest["files"]]
+
+    @property
+    def num_buckets(self) -> int:
+        p = self.manifest["partition"]
+        return p["num_buckets"] if p else 0
+
+    @property
+    def bucket_col(self) -> str | None:
+        p = self.manifest["partition"]
+        return p["bucket_col"] if p else None
+
+    def bucket_expr(self, col=None):
+        """The partition transform: pmod(xxhash64(key), N) — deterministic
+        across sessions, the analog of Iceberg bucket(N, key)."""
+        c = col if col is not None else F.col(self.bucket_col)
+        return F.pmod(F.xxhash64(c), F.lit(self.num_buckets)).cast("int")
+
+    def snapshots(self) -> list[int]:
+        meta = os.path.join(self.path, META_DIR)
+        return sorted(int(n[1:-5]) for n in os.listdir(meta)
+                      if n.startswith("v") and n.endswith(".json"))
+
+    # ---------------------------------------------------------------- read
+    def read(self, spark: SparkSession, buckets: Iterable[int] | None = None,
+             snapshot: int | None = None) -> DataFrame:
+        """Read current (or time-travel) state, optionally pruned to a set
+        of buckets — manifest-level partition pruning, the scan-side half of
+        copy-on-write MERGE."""
+        man = self.manifest if snapshot is None else self._load_manifest(snapshot)
+        cur_sv = man["schema_version"]
+        cur_fields = man["schemas"][str(cur_sv)]
+        cur_names = [f["name"] for f in cur_fields]
+        want = set(buckets) if buckets is not None else None
+        files = [DataFile.from_json(d) for d in man["files"]]
+        if want is not None:
+            files = [f for f in files if f.bucket in want]
+        cur_schema = T.StructType([_field_from_json(d) for d in cur_fields])
+        if not files:
+            return spark.createDataFrame([], cur_schema)
+
+        # group files by the schema version they were written under; map old
+        # physical columns to current names by field id
+        by_sv: dict[int, list[str]] = {}
+        for f in files:
+            by_sv.setdefault(f.schema_version, []).append(
+                os.path.join(self.path, f.path))
+        parts: list[DataFrame] = []
+        for sv, paths in sorted(by_sv.items()):
+            old_fields = man["schemas"][str(sv)]
+            old_schema = T.StructType([_field_from_json(d) for d in old_fields])
+            df = spark.read.schema(old_schema).parquet(*paths)
+            by_id = {f["id"]: f["name"] for f in old_fields}
+            cols = []
+            for cf in cur_fields:
+                old_name = by_id.get(cf["id"])
+                if old_name is None:
+                    cols.append(F.lit(None).cast(
+                        T._parse_datatype_json_string(cf["type"])).alias(cf["name"]))
+                else:
+                    cols.append(F.col(old_name).alias(cf["name"]))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(*cur_names)
+
+    # --------------------------------------------------------------- write
+    def _write_data(self, df: DataFrame, partitioned: bool) -> list[DataFile]:
+        """Write df into a fresh commit dir; return the produced files.
+
+        File row counts / seq stats come from parquet footers (driver-side
+        listing; O(files), acceptable because files per commit is bounded by
+        buckets × writer tasks)."""
+        import pyarrow.parquet as pq
+
+        commit_id = f"commit-{uuid.uuid4().hex[:12]}"
+        staging = os.path.join(self.path, DATA_DIR, commit_id)
+        writer = df.write.mode("errorifexists")
+        if partitioned:
+            writer = writer.partitionBy(BUCKET_COL)
+        writer.parquet(staging)
+        out: list[DataFile] = []
+        sv = self.schema_version
+        has_seq = "seq" in [f.name for f in self.schema().fields]
+        for root, _dirs, names in os.walk(staging):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, n)
+                rel = os.path.relpath(full, self.path)
+                bucket = None
+                if partitioned:
+                    part = os.path.basename(root)
+                    if part.startswith(BUCKET_COL + "="):
+                        bucket = int(part.split("=", 1)[1])
+                md = pq.ParquetFile(full).metadata
+                mn = mx = None
+                if has_seq and md.num_rows > 0:
+                    names = list(md.schema.names)
+                    idx = names.index("seq") if "seq" in names else None
+                    if idx is not None:
+                        mns, mxs = [], []
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(idx).statistics
+                            if st and st.has_min_max:
+                                mns.append(st.min)
+                                mxs.append(st.max)
+                        if mns:
+                            mn, mx = int(min(mns)), int(max(mxs))
+                out.append(DataFile(rel, bucket, md.num_rows, sv, mn, mx))
+        return out
+
+    def _commit(self, new_files: list[DataFile], drop: set[str],
+                operation: str, summary: dict[str, Any]) -> int:
+        man = self.manifest
+        kept = [d for d in man["files"] if d["path"] not in drop]
+        new_man = dict(man)
+        new_man["version"] = man["version"] + 1
+        new_man["parent"] = man["version"]
+        new_man["operation"] = operation
+        new_man["files"] = kept + [f.to_json() for f in new_files]
+        new_man["summary"] = summary
+        new_man["committed_at"] = time.time()
+        self._write_manifest(self.path, new_man)
+        self.manifest = new_man
+        return new_man["version"]
+
+    def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
+        """Append rows (used by checkpoint / metrics / lineage tables).
+        For a bucketed table the rows are routed to their partitions."""
+        partitioned = self.num_buckets > 0
+        if partitioned:
+            df = df.withColumn(BUCKET_COL, self.bucket_expr())
+        files = self._write_data(df.select(*self._write_cols(partitioned)),
+                                 partitioned)
+        return self._commit(files, set(), "append", summary or {})
+
+    def _write_cols(self, partitioned: bool) -> list[str]:
+        cols = [f.name for f in self.schema().fields]
+        return cols + [BUCKET_COL] if partitioned else cols
+
+    def overwrite_buckets(self, df: DataFrame, buckets: Iterable[int],
+                          summary: dict[str, Any] | None = None) -> int:
+        """Copy-on-write replace of a set of buckets — the commit half of
+        MERGE. ``df`` must already be the complete new content of exactly
+        those buckets and carry a ``_bucket`` column."""
+        bset = set(int(b) for b in buckets)
+        drop = {f.path for f in self.files if f.bucket in bset}
+        files = self._write_data(df.select(*self._write_cols(True)), True)
+        bad = [f for f in files if f.bucket not in bset]
+        if bad:
+            raise ValueError(f"rows outside declared buckets: {bad[:3]}")
+        return self._commit(files, drop, "merge", summary or {})
+
+    def overwrite_all(self, df: DataFrame,
+                      summary: dict[str, Any] | None = None) -> int:
+        partitioned = self.num_buckets > 0
+        if partitioned:
+            df = df.withColumn(BUCKET_COL, self.bucket_expr())
+        drop = {f.path for f in self.files}
+        files = self._write_data(df.select(*self._write_cols(partitioned)),
+                                 partitioned)
+        return self._commit(files, drop, "overwrite", summary or {})
+
+    # ----------------------------------------------------- schema evolution
+    def alter_add_column(self, name: str, data_type: T.DataType,
+                         nullable: bool = True) -> int:
+        """ADD COLUMN: new schema version, new field id; existing files stay
+        readable (null-filled). Analog of the reference's additive migration
+        internal/db/migrations/20260203-add-ttl-to-contract-data.sql:3-4."""
+        man = self.manifest
+        cur = list(self._fields(self.schema_version))
+        if any(f["name"] == name for f in cur):
+            raise ValueError(f"column {name} exists")
+        fid = man["next_field_id"]
+        new_fields = cur + [{"id": fid, "name": name, "type": data_type.json(),
+                             "nullable": nullable}]
+        return self._commit_schema(new_fields, next_field_id=fid + 1,
+                                   operation="add-column")
+
+    def alter_rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN: same field id, new name — old data files map by id.
+        Analog of index/column renames in
+        internal/db/migrations/20251017-polish-indexes.sql:6-7."""
+        cur = list(self._fields(self.schema_version))
+        if not any(f["name"] == old for f in cur):
+            raise ValueError(f"no column {old}")
+        if any(f["name"] == new for f in cur):
+            raise ValueError(f"column {new} exists")
+        new_fields = [dict(f, name=new) if f["name"] == old else f for f in cur]
+        return self._commit_schema(new_fields, operation="rename-column")
+
+    def _commit_schema(self, new_fields: list[dict[str, Any]],
+                       next_field_id: int | None = None,
+                       operation: str = "evolve") -> int:
+        man = self.manifest
+        new_sv = max(int(k) for k in man["schemas"]) + 1
+        new_man = dict(man)
+        new_man["version"] = man["version"] + 1
+        new_man["parent"] = man["version"]
+        new_man["operation"] = operation
+        new_man["schemas"] = dict(man["schemas"], **{str(new_sv): new_fields})
+        new_man["schema_version"] = new_sv
+        if next_field_id is not None:
+            new_man["next_field_id"] = next_field_id
+        new_man["committed_at"] = time.time()
+        self._write_manifest(self.path, new_man)
+        self.manifest = new_man
+        return new_man["version"]
+
+    # ---------------------------------------------------------- maintenance
+    def orphan_files(self) -> list[str]:
+        """Data files on disk not referenced by ANY snapshot (crash debris)."""
+        referenced: set[str] = set()
+        for v in self.snapshots():
+            man = self._load_manifest(v)
+            referenced.update(d["path"] for d in man["files"])
+        out = []
+        data_root = os.path.join(self.path, DATA_DIR)
+        for root, _dirs, names in os.walk(data_root):
+            for n in names:
+                rel = os.path.relpath(os.path.join(root, n), self.path)
+                if n.endswith(".parquet") and rel not in referenced:
+                    out.append(rel)
+        return out
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[str]:
+        """Drop old manifests and delete data files only they reference —
+        the analog of the reference's post-backfill REINDEX maintenance
+        (internal/db/migrations/20260225-reindex-contract-data-live-until.sql)."""
+        versions = self.snapshots()
+        if len(versions) <= keep_last:
+            return []
+        drop_vs, keep_vs = versions[:-keep_last], versions[-keep_last:]
+        keep_refs: set[str] = set()
+        for v in keep_vs:
+            keep_refs.update(d["path"] for d in self._load_manifest(v)["files"])
+        removed: list[str] = []
+        for v in drop_vs:
+            for d in self._load_manifest(v)["files"]:
+                if d["path"] not in keep_refs:
+                    full = os.path.join(self.path, d["path"])
+                    if os.path.exists(full):
+                        os.unlink(full)
+                        removed.append(d["path"])
+            os.unlink(os.path.join(self.path, META_DIR, f"v{v:08d}.json"))
+        return removed
+
+    def compact(self, spark: SparkSession, target_files_per_bucket: int = 1) -> int:
+        """Rewrite-data-files: coalesce small files per bucket (MERGE
+        copy-on-write accretes one file set per epoch)."""
+        if self.num_buckets:
+            df = self.read(spark).withColumn(BUCKET_COL, self.bucket_expr())
+            df = df.repartition(self.num_buckets * target_files_per_bucket,
+                                BUCKET_COL)
+            drop = {f.path for f in self.files}
+            files = self._write_data(df, True)
+            return self._commit(files, drop, "compact", {})
+        df = self.read(spark).coalesce(target_files_per_bucket)
+        drop = {f.path for f in self.files}
+        files = self._write_data(df, False)
+        return self._commit(files, drop, "compact", {})

@@ -1,0 +1,205 @@
+"""Conditional MERGE on a LakeTable — copy-on-write, bucket-pruned.
+
+Two merge shapes, matching the reference's two sink operators:
+
+- ``merge_upsert_lww`` ≙ the conditional upsert
+  ``INSERT … ON CONFLICT (key) DO UPDATE SET … WHERE excluded.seq > t.seq``
+  (reference: internal/db/utils.go:74-130, condition wired at
+  internal/db/contract_data.go:89-92). Equivalent to Iceberg
+  ``MERGE INTO t USING b ON t.doc_id=b.doc_id
+  WHEN MATCHED AND b.seq > t.seq THEN UPDATE SET *
+  WHEN NOT MATCHED THEN INSERT *`` — realized as a full-outer join plus a
+  copy-on-write rewrite of only the buckets the batch touches.
+- ``merge_enrich`` ≙ the update-only enrichment
+  ``UPDATE t SET v = b.v FROM b WHERE t.key=b.key AND (t.v IS NULL OR
+  t.v < b.v)`` (internal/db/utils.go:132-170, wired at
+  internal/db/ttl.go:43-50): no insert branch, unmatched source keys are
+  silently dropped.
+
+Delete semantics: the reference keeps removed rows as flagged rows with
+the Pre image the change record carries (Deleted column,
+internal/contract/utils.go:14-25). Our change schema carries no pre-image
+(delete events have ``tokens = null``), so "take what the removed change
+carries" translates to a tombstone whose payload is the event's — i.e.
+deletes null the payload and set ``deleted=true``. This keeps the final
+state a pure function of the event stream, independent of how the stream
+is sliced into epochs. A delete for an unseen key inserts a tombstone row
+(the reference likewise upserts removed entries it never saw).
+
+Scale notes (100 TB): the join shuffles both sides on doc_id (AQE may
+broadcast a small batch); the rewrite is bounded by |affected buckets| ×
+bucket size, not table size. The batch is persisted because it is used
+twice (bucket discovery + join). Cross-epoch idempotency comes from the
+strict ``b.seq > t.seq`` condition: re-applying a committed epoch changes
+nothing (equal seq loses), which is what makes crash-replay safe
+(≙ docs/devops.md:12's backfill-is-idempotent property).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ..lake.table import BUCKET_COL, LakeTable
+from ..schema import OP_DELETE
+
+# columns the base-change batch provides; any further target columns
+# (schema-evolved, e.g. live_until) pass through from the target side
+BATCH_VALUE_COLS = ("tokens", "n_tok", "source", "seq", "first_seq",
+                    "deleted", "closed_at")
+
+
+@dataclass
+class MergeResult:
+    version: int
+    matched: int = 0
+    inserted: int = 0
+    updated: int = 0
+    buckets: list[int] = field(default_factory=list)
+
+    @property
+    def rows_upserted(self) -> int:
+        # ≙ rowsAffected from the reference upsert (db/utils.go:121-129)
+        return self.inserted + self.updated
+
+
+def _affected_buckets(table: LakeTable, batch: DataFrame) -> list[int]:
+    rows = (batch.select(table.bucket_expr(F.col("doc_id")).alias("b"))
+            .distinct().collect())
+    return sorted(r["b"] for r in rows)
+
+
+def merge_upsert_lww(spark: SparkSession, table: LakeTable,
+                     batch: DataFrame) -> MergeResult:
+    """Apply a deduped change batch (one row per doc_id) with LWW upsert.
+
+    ``batch`` columns: doc_id + BATCH_VALUE_COLS + op.
+    """
+    batch = batch.persist()
+    try:
+        buckets = _affected_buckets(table, batch)
+        if not buckets:
+            return MergeResult(version=table.version)
+
+        t = table.read(spark, buckets=buckets).alias("t")
+        b = batch.alias("b")
+        j = t.join(b, F.col("t.doc_id").eqNullSafe(F.col("b.doc_id")),
+                   "full_outer")
+
+        b_wins = (F.col("b.seq").isNotNull()
+                  & (F.col("t.seq").isNull()
+                     | (F.col("b.seq") > F.col("t.seq"))))
+        is_del = F.col("b.op") == F.lit(OP_DELETE)
+
+        def resolve(c: str):
+            if c == "deleted":
+                return (F.when(b_wins, is_del)
+                        .otherwise(F.col("t.deleted")).alias(c))
+            if c == "first_seq":
+                # monotone-min merge: "existed since" never moves later
+                # (least() ignores nulls)
+                return F.least(F.col("t.first_seq"),
+                               F.col("b.first_seq")).alias(c)
+            return (F.when(b_wins, F.col(f"b.{c}"))
+                    .otherwise(F.col(f"t.{c}")).alias(c))
+
+        target_cols = [f.name for f in table.schema().fields]
+        out_cols = [F.coalesce(F.col("t.doc_id"), F.col("b.doc_id")).alias("doc_id")]
+        for c in target_cols:
+            if c == "doc_id":
+                continue
+            if c in BATCH_VALUE_COLS:
+                out_cols.append(resolve(c))
+            else:
+                out_cols.append(F.col(f"t.{c}").alias(c))  # evolved pass-through
+
+        obs = Observation()
+        resolved = j.select(
+            *out_cols,
+            (F.col("t.seq").isNotNull() & F.col("b.seq").isNotNull())
+            .alias("_matched"),
+            (F.col("t.seq").isNull() & b_wins).alias("_inserted"),
+            (F.col("t.seq").isNotNull() & b_wins).alias("_updated"),
+        ).observe(
+            obs,
+            F.sum(F.col("_matched").cast("long")).alias("matched"),
+            F.sum(F.col("_inserted").cast("long")).alias("inserted"),
+            F.sum(F.col("_updated").cast("long")).alias("updated"),
+        )
+        final = (resolved
+                 .withColumn(BUCKET_COL, table.bucket_expr(F.col("doc_id")))
+                 .drop("_matched", "_inserted", "_updated"))
+        version = table.overwrite_buckets(final, buckets,
+                                          summary={"op": "merge_upsert_lww"})
+        m = obs.get
+        return MergeResult(version=version,
+                           matched=int(m.get("matched") or 0),
+                           inserted=int(m.get("inserted") or 0),
+                           updated=int(m.get("updated") or 0),
+                           buckets=buckets)
+    finally:
+        batch.unpersist()
+
+
+def merge_enrich(spark: SparkSession, table: LakeTable, candidates: DataFrame,
+                 value_col: str = "live_until") -> MergeResult:
+    """Update-only monotonic enrichment (≙ TTL stage).
+
+    ``candidates`` columns: (doc_id, seq, <value_col>) — the ttl events of
+    the epoch deduped per (doc_id, seq) keep-latest-pos (the reference
+    dedups ttl batches on {KeyHash, LedgerSequence},
+    internal/transform/ttl.go:34-36).
+
+    Per-ledger fidelity: the reference applies ttl ledger-by-ledger with
+    the monotonic condition, AFTER the base dataset of that ledger
+    (internal/main.go:127-144). Over a whole epoch that in-order replay
+    reduces to: for each key, take max(value) over candidates whose
+    ``seq >= first_seq`` (the row existed when that ledger ran), then
+    apply once under the monotonic condition. Candidates for keys absent
+    from the target are silently dropped (UPDATE…FROM semantics,
+    internal/db/utils.go:150-158) — realized by the inner qualification
+    join from the (bucket-pruned) target side.
+    """
+    candidates = candidates.persist()
+    try:
+        buckets = _affected_buckets(table, candidates)
+        if not buckets:
+            return MergeResult(version=table.version)
+        t = table.read(spark, buckets=buckets).alias("t")
+
+        qual = (t.select("doc_id", "first_seq")
+                .join(candidates.alias("c"), "doc_id")
+                .filter(F.col("c.seq") >= F.col("first_seq"))
+                .groupBy("doc_id")
+                .agg(F.max(value_col).alias("_bump")))
+
+        j = t.join(qual.alias("q"),
+                   F.col("t.doc_id").eqNullSafe(F.col("q.doc_id")), "left")
+        bumps = (F.col("_bump").isNotNull()
+                 & (F.col(f"t.{value_col}").isNull()
+                    | (F.col(f"t.{value_col}") < F.col("_bump"))))
+        target_cols = [f.name for f in table.schema().fields]
+        out_cols = []
+        for c in target_cols:
+            if c == value_col:
+                out_cols.append(F.when(bumps, F.col("_bump"))
+                                .otherwise(F.col(f"t.{c}")).alias(c))
+            else:
+                out_cols.append(F.col(f"t.{c}").alias(c))
+
+        obs = Observation()
+        resolved = (j.select(*out_cols, bumps.alias("_bumped"))
+                    .observe(obs, F.sum(F.col("_bumped").cast("long"))
+                             .alias("bumped")))
+        final = (resolved
+                 .withColumn(BUCKET_COL, table.bucket_expr(F.col("doc_id")))
+                 .drop("_bumped"))
+        version = table.overwrite_buckets(final, buckets,
+                                          summary={"op": "merge_enrich"})
+        m = obs.get
+        return MergeResult(version=version, updated=int(m.get("bumped") or 0),
+                           buckets=buckets)
+    finally:
+        candidates.unpersist()

@@ -1,0 +1,89 @@
+"""Canonical schemas for the CDC replay engine.
+
+Mirrors the reference data model translated to the tokenized-sequence
+domain (BASELINE.json input_hint):
+
+- change_events  ≙ the ledger change stream (one row per ingest.Change,
+  reference: internal/utils/processor.go:52-76). ``seq`` is the LWW version
+  (≙ ledger_sequence), ``pos`` the intra-seq ordinal (the reference keeps
+  the *last occurrence in input order* on duplicate keys,
+  internal/utils/processor.go:100 — Spark has no input order after a
+  shuffle, so the order is explicit in the data).
+- documents (target) ≙ contract_data
+  (internal/db/migrations/20250807-create-contract-data.sql:3-13 plus the
+  schema-evolved live_until column,
+  20260203-add-ttl-to-contract-data.sql:3-4).
+- checkpoints / lineage / metrics ≙ the resume watermark
+  (internal/db/utils.go:61-71) and Prometheus metrics
+  (internal/utils/metrics.go:32-152), made durable as tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# dataset discriminator values (≙ xdr.LedgerEntryType filter,
+# reference: internal/transform/contract_data.go:20-22, ttl.go:20-22)
+ENTRY_TOKENS = "tokens"
+ENTRY_TTL = "ttl"
+
+OP_INSERT = "insert"
+OP_UPDATE = "update"
+OP_DELETE = "delete"
+
+CHANGE_EVENTS = T.StructType([
+    T.StructField("seq", T.LongType(), False),
+    T.StructField("pos", T.LongType(), False),
+    T.StructField("op", T.StringType(), False),
+    T.StructField("doc_id", T.StringType(), True),      # "" = nonce (filtered)
+    T.StructField("tokens", T.ArrayType(T.IntegerType()), True),  # null for delete
+    T.StructField("source", T.StringType(), True),
+    T.StructField("entry_type", T.StringType(), False),
+    T.StructField("closed_at", T.TimestampType(), False),
+    T.StructField("live_until", T.LongType(), True),    # ttl events only
+])
+
+TARGET = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+    T.StructField("n_tok", T.IntegerType(), True),
+    T.StructField("source", T.StringType(), True),
+    T.StructField("seq", T.LongType(), False),
+    # earliest base-event seq ever seen for this key — the "row existed
+    # since" watermark that lets per-epoch enrichment reproduce the
+    # reference's per-ledger ordering (base stage before ttl stage within
+    # each ledger, internal/main.go:127-144): a ttl event at seq s applies
+    # iff first_seq <= s, i.e. iff the row existed when ledger s ran.
+    T.StructField("first_seq", T.LongType(), True),
+    T.StructField("deleted", T.BooleanType(), False),
+    T.StructField("closed_at", T.TimestampType(), True),
+    T.StructField("live_until", T.LongType(), True),
+])
+
+CHECKPOINTS = T.StructType([
+    T.StructField("epoch_id", T.LongType(), False),
+    T.StructField("lo_seq", T.LongType(), False),
+    T.StructField("hi_seq", T.LongType(), False),
+    T.StructField("target_snapshot", T.LongType(), False),
+    T.StructField("rows_upserted", T.LongType(), True),
+    T.StructField("rows_enriched", T.LongType(), True),
+    T.StructField("committed_at", T.TimestampType(), False),
+])
+
+LINEAGE = T.StructType([
+    T.StructField("epoch_id", T.LongType(), False),
+    T.StructField("bucket", T.IntegerType(), False),
+    T.StructField("rows_in", T.LongType(), True),
+    T.StructField("rows_out", T.LongType(), True),
+])
+
+METRICS = T.StructType([
+    T.StructField("epoch_id", T.LongType(), False),
+    T.StructField("dataset", T.StringType(), False),
+    T.StructField("rows_read", T.LongType(), True),
+    T.StructField("rows_deduped", T.LongType(), True),
+    T.StructField("rows_matched", T.LongType(), True),
+    T.StructField("rows_inserted", T.LongType(), True),
+    T.StructField("rows_updated", T.LongType(), True),
+    T.StructField("wall_secs", T.DoubleType(), True),
+])

@@ -1,0 +1,196 @@
+"""Deterministic distributed change-stream synthesis + bounded reads.
+
+The reference's source is a GCS lake of ledger files consumed over a
+sequence range with buffered prefetch (reference:
+internal/input/ledgerMetaDataReader.go:95-124); ours is a parquet dataset
+of change events, range-partitioned and sorted by ``seq`` so that an epoch
+read ``seq BETWEEN lo AND hi`` prunes at the file and row-group level.
+
+Synthesis is counter-based (splitmix64 over the event ordinal): every
+column is a pure function of ``(seed, event_id)``, so the dataset is
+byte-stable regardless of partitioning or cluster size — the property that
+lets the pytest oracle recompute the same stream single-threaded. The
+generator runs distributed via ``mapInArrow`` building Arrow ListArrays
+directly: zero driver-side loops, zero per-row Python.
+
+Stream shape (mirrors FIXTURES.md §1): ~5% deletes, ~15% ttl-enrichment
+events, ~1% nonce rows (empty doc_id — filtered, ≙ F2), one hot key
+(``doc00000000``) holding ~10% of events for skew tests, deliberate
+duplicate-key-within-one-seq collisions (dedup regression, ≙
+internal/transform/ttl_test.go:113-243).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import CHANGE_EVENTS
+
+BASE_TS = 1_700_000_000  # fixed epoch base for closed_at (UTC)
+
+_M = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain algorithm)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _h(ids: np.ndarray, seed: int, stream: int) -> np.ndarray:
+    with np.errstate(over="ignore"):  # uint64 wraparound is the algorithm
+        return _splitmix64(ids.astype(np.uint64)
+                           + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+                           + np.uint64(stream) * np.uint64(0xD6E8FEB86659FD93))
+
+
+@dataclass
+class StreamSpec:
+    n_events: int
+    n_docs: int = 1000
+    seed: int = 42
+    events_per_seq: int = 100     # duplicate (doc, seq) pairs arise naturally
+    hot_permille: int = 100       # ~10% of events hit the hot key
+    ttl_permille: int = 150       # ~15% ttl enrichment events
+    delete_pct: int = 5
+    insert_pct: int = 40          # rest are updates
+    nonce_permille: int = 10      # ~1% empty doc_id
+    tok_len_min: int = 1
+    tok_len_max: int = 64
+    vocab: int = 50257
+    n_sources: int = 10
+
+
+def _gen_batch(ids: np.ndarray, s: StreamSpec) -> pa.RecordBatch:
+    n = len(ids)
+    u = ids.astype(np.uint64)
+    h_doc = _h(u, s.seed, 1)
+    h_hot = _h(u, s.seed, 2)
+    h_type = _h(u, s.seed, 3)
+    h_op = _h(u, s.seed, 4)
+    h_len = _h(u, s.seed, 5)
+    h_ttl = _h(u, s.seed, 6)
+    h_nonce = _h(u, s.seed, 7)
+
+    k = (np.uint64(1) + h_doc % np.uint64(max(s.n_docs - 1, 1))).astype(np.int64)
+    hot = (h_hot % np.uint64(1000)) < np.uint64(s.hot_permille)
+    k[hot] = 0
+    nonce = (h_nonce % np.uint64(1000)) < np.uint64(s.nonce_permille)
+
+    doc_id = np.char.mod("doc%08d", k)
+    doc_id = np.where(nonce, "", doc_id)
+
+    is_ttl = (h_type % np.uint64(1000)) < np.uint64(s.ttl_permille)
+    opd = (h_op % np.uint64(100)).astype(np.int64)
+    op = np.where(opd < s.delete_pct, "delete",
+                  np.where(opd < s.delete_pct + s.insert_pct, "insert",
+                           "update"))
+    op = np.where(is_ttl, "update", op)
+    entry_type = np.where(is_ttl, "ttl", "tokens")
+
+    # seqs start at 2: seq<=1 is the planner's unbounded-tail sentinel
+    # (≙ ledger 1 being the network genesis in the reference domain)
+    seq = (np.uint64(2) + u // np.uint64(s.events_per_seq)).astype(np.int64)
+    pos = (u % np.uint64(s.events_per_seq)).astype(np.int64)
+    source = np.char.mod("src%02d", (h_doc % np.uint64(s.n_sources))
+                         .astype(np.int64))
+
+    # ttl bumps wander around seq (some go backwards → rejected by the
+    # monotonic condition, FIXTURES.md §2)
+    live_until = seq + (h_ttl % np.uint64(10000)).astype(np.int64) - 2000
+    live_until = np.maximum(live_until, 1)
+    live_mask = is_ttl  # null elsewhere
+
+    # token arrays: null for deletes / ttl / nonce rows
+    has_tokens = (~is_ttl) & (op != "delete") & (~nonce)
+    span = max(s.tok_len_max - s.tok_len_min + 1, 1)
+    lens = (np.uint64(s.tok_len_min) + h_len % np.uint64(span)).astype(np.int64)
+    lens = np.where(has_tokens, lens, 0)
+    offsets64 = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets64[1:])
+    total = int(offsets64[-1])
+    # value j of row i = splitmix64(doc_key, global token ordinal) % vocab —
+    # depends only on (seed, id, j): byte-stable under any partitioning
+    row_of_tok = np.repeat(np.arange(n), lens)
+    tok_ordinal = np.arange(total, dtype=np.int64) - np.repeat(offsets64[:-1], lens)
+    with np.errstate(over="ignore"):
+        tok_key = u[row_of_tok] * np.uint64(131071) + tok_ordinal.astype(np.uint64)
+    tok_vals = (_h(tok_key, s.seed, 8) % np.uint64(s.vocab)).astype(np.int32)
+    # a null at offsets[i] makes list element i null (pyarrow from_arrays
+    # convention); the final boundary offset stays valid
+    offsets = pa.array(offsets64.astype(np.int32), type=pa.int32(),
+                       mask=np.concatenate([~has_tokens, [False]]))
+    tokens = pa.ListArray.from_arrays(offsets, pa.array(tok_vals,
+                                                        type=pa.int32()))
+
+    return pa.RecordBatch.from_arrays(
+        [pa.array(seq), pa.array(pos), pa.array(op.astype(object)),
+         pa.array(doc_id.astype(object)), tokens,
+         pa.array(source.astype(object)),
+         pa.array(entry_type.astype(object)),
+         pa.array(BASE_TS + seq),
+         pa.array(live_until, mask=~live_mask)],
+        names=["seq", "pos", "op", "doc_id", "tokens", "source",
+               "entry_type", "closed_at_s", "live_until"])
+
+
+def synthesize_change_events(spark: SparkSession, spec: StreamSpec,
+                             partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic synthesis of ``spec.n_events`` change rows."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, spec.n_events, numPartitions=parts)
+
+    out_schema = ("seq long, pos long, op string, doc_id string, "
+                  "tokens array<int>, source string, entry_type string, "
+                  "closed_at_s long, live_until long")
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column(0).to_numpy()
+            yield _gen_batch(ids, spec)
+
+    df = base.mapInArrow(gen, out_schema)
+    return (df.withColumn("closed_at", F.timestamp_seconds(F.col("closed_at_s")))
+              .drop("closed_at_s")
+              .select([f.name for f in CHANGE_EVENTS.fields]))
+
+
+def write_change_events(spark: SparkSession, path: str, spec: StreamSpec,
+                        partitions: int | None = None) -> None:
+    """Materialize the stream range-partitioned + sorted on (seq, pos) so
+    epoch reads prune files/row-groups via parquet min-max stats — the
+    analog of the reference lake's ledgers-per-file layout
+    (config-test.toml:7-9)."""
+    df = synthesize_change_events(spark, spec, partitions)
+    parts = partitions or spark.sparkContext.defaultParallelism
+    (df.repartitionByRange(parts, "seq", "pos")
+       .sortWithinPartitions("seq", "pos")
+       .write.mode("overwrite").parquet(path))
+
+
+def read_change_events(spark: SparkSession, path: str, lo: int | None = None,
+                       hi: int | None = None) -> DataFrame:
+    """Bounded epoch read (≙ S1). The seq predicate reaches the parquet
+    scan as PushedFilters — verify with .explain('formatted')."""
+    df = spark.read.schema(CHANGE_EVENTS).parquet(path)
+    if lo is not None:
+        df = df.filter(F.col("seq") >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col("seq") <= F.lit(hi))
+    return df
+
+
+def max_seq_in_source(spark: SparkSession, path: str) -> int:
+    """≙ datastore.FindLatestLedgerSequence (S2, internal/main.go:178-182)."""
+    row = read_change_events(spark, path).agg(
+        F.coalesce(F.max("seq"), F.lit(0)).alias("m")).collect()[0]
+    return int(row["m"])

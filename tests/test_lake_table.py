@@ -1,0 +1,124 @@
+"""LakeTable format tests: atomic snapshot commits, time travel, bucket
+pruning, schema evolution (add + rename with field-id mapping), orphan
+sweep, snapshot expiry, optimistic-concurrency conflict."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stellar_ledger_data_indexer_spark.lake.table import (
+    BUCKET_COL, CommitConflict, LakeTable)
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("seq", T.LongType(), False),
+    T.StructField("v", T.IntegerType(), True),
+])
+
+
+def mk(spark, path, rows, num_buckets=4):
+    t = LakeTable.create(str(path), SCHEMA, bucket_col="doc_id",
+                         num_buckets=num_buckets)
+    if rows:
+        t.append(spark.createDataFrame(rows, SCHEMA))
+    return t
+
+
+def test_append_read_roundtrip(spark, tmp_path):
+    t = mk(spark, tmp_path / "t1", [("a", 1, 10), ("b", 2, 20)])
+    out = {r["doc_id"]: r["v"] for r in t.read(spark).collect()}
+    assert out == {"a": 10, "b": 20}
+
+
+def test_time_travel_and_snapshots(spark, tmp_path):
+    t = mk(spark, tmp_path / "t2", [("a", 1, 10)])
+    v1 = t.version
+    t.append(spark.createDataFrame([("b", 2, 20)], SCHEMA))
+    assert t.read(spark).count() == 2
+    assert t.read(spark, snapshot=v1).count() == 1
+    assert t.snapshots() == [1, v1, t.version]
+
+
+def test_bucket_pruning_reads_subset_of_files(spark, tmp_path):
+    t = mk(spark, tmp_path / "t3",
+           [(f"doc{i}", i, i) for i in range(50)], num_buckets=8)
+    all_rows = t.read(spark).count()
+    assert all_rows == 50
+    some = t.read(spark, buckets=[0, 1]).withColumn(
+        "_b", t.bucket_expr()).select("_b").distinct().collect()
+    assert {r["_b"] for r in some} <= {0, 1}
+    assert t.read(spark, buckets=[]).count() == 0
+
+
+def test_overwrite_buckets_replaces_only_those(spark, tmp_path):
+    t = mk(spark, tmp_path / "t4",
+           [(f"doc{i}", 1, 0) for i in range(40)], num_buckets=4)
+    df = (t.read(spark, buckets=[2])
+          .withColumn("v", F.lit(99))
+          .withColumn(BUCKET_COL, t.bucket_expr()))
+    t.overwrite_buckets(df, [2])
+    got = t.read(spark).withColumn("_b", t.bucket_expr()).collect()
+    for r in got:
+        assert (r["v"] == 99) == (r["_b"] == 2)
+
+
+def test_schema_evolution_add_and_rename(spark, tmp_path):
+    """Old files stay readable through add + rename — id-based column
+    mapping (the Iceberg property the north rule names; ≙ additive
+    migrations internal/db/migrations/20260203…, renames 20251017…)."""
+    t = mk(spark, tmp_path / "t5", [("a", 1, 10)])
+    t.alter_add_column("extra", T.LongType())
+    # old file read back: extra is null
+    rows = t.read(spark).collect()
+    assert rows[0]["extra"] is None
+    # write a row under the new schema
+    t.append(spark.createDataFrame([("b", 2, 20, 7)], t.schema()))
+    t.alter_rename_column("v", "val")
+    out = {r["doc_id"]: (r["val"], r["extra"]) for r in t.read(spark).collect()}
+    assert out == {"a": (10, None), "b": (20, 7)}
+    # old snapshots remain readable with their contemporary schema
+    assert t.read(spark, snapshot=1).columns == ["doc_id", "seq", "v"]
+    # rename back and forth keeps ids stable
+    t.alter_rename_column("val", "v")
+    assert [f.name for f in t.schema().fields] == ["doc_id", "seq", "v",
+                                                   "extra"]
+
+
+def test_commit_conflict_detected(spark, tmp_path):
+    path = tmp_path / "t6"
+    t1 = mk(spark, path, [("a", 1, 10)])
+    t2 = LakeTable(str(path))  # second writer at same version
+    t1.append(spark.createDataFrame([("b", 2, 2)], SCHEMA))
+    with pytest.raises(CommitConflict):
+        t2.append(spark.createDataFrame([("c", 3, 3)], SCHEMA))
+    # refresh + retry succeeds
+    t2.refresh()
+    t2.append(spark.createDataFrame([("c", 3, 3)], SCHEMA))
+    assert LakeTable(str(path)).read(spark).count() == 3
+
+
+def test_expire_snapshots_removes_unreferenced_files(spark, tmp_path):
+    t = mk(spark, tmp_path / "t7", [(f"doc{i}", 1, 0) for i in range(20)])
+    for k in range(3):
+        df = (t.read(spark).withColumn("v", F.lit(k))
+              .withColumn(BUCKET_COL, t.bucket_expr()))
+        t.overwrite_all(df)
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed
+    assert t.read(spark).count() == 20  # current state intact
+    assert len(t.snapshots()) == 1
+
+
+def test_compact_coalesces_files(spark, tmp_path):
+    t = mk(spark, tmp_path / "t8", [(f"doc{i}", 1, 0) for i in range(30)],
+           num_buckets=2)
+    t.append(spark.createDataFrame([(f"x{i}", 2, 1) for i in range(30)],
+                                   SCHEMA))
+    before = len(t.files)
+    n_before = t.read(spark).count()
+    t.compact(spark, target_files_per_bucket=1)
+    assert len(t.files) <= before
+    assert t.read(spark).count() == n_before

@@ -1,0 +1,146 @@
+"""Golden-state replay: engine final table == single-threaded oracle.
+
+Mirrors the reference's end-to-end golden test (reference:
+cmd/root_test.go:38-148 — replay a fixed ledger range, assert exact final
+rows) with the deterministic synthetic stream. The per-row invariant is
+token-array equality (BASELINE.json input_hint).
+"""
+
+import os
+
+import pytest
+
+from stellar_ledger_data_indexer_spark.job import IngestJob, JobConfig
+from stellar_ledger_data_indexer_spark.sources.change_stream import (
+    StreamSpec, read_change_events, write_change_events)
+
+from oracle import (assert_states_equal, replay_oracle, rows_to_events,
+                    state_from_target)
+
+SPEC = StreamSpec(n_events=20_000, n_docs=400, events_per_seq=100)
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("stream") / "change_events")
+    write_change_events(spark, p, SPEC, partitions=4)
+    return p
+
+
+@pytest.fixture(scope="module")
+def oracle_state(spark, events_path):
+    rows = read_change_events(spark, events_path).collect()
+    return replay_oracle(rows_to_events(rows))
+
+
+END_SEQ = 1 + SPEC.n_events // SPEC.events_per_seq  # seqs span [2, END_SEQ]
+
+
+def run_job(spark, events_path, warehouse, **cfg_kw):
+    cfg = JobConfig(events_path=events_path, warehouse=warehouse,
+                    num_buckets=8, epoch_size=50, **cfg_kw)
+    job = IngestJob(spark, cfg)
+    reports = job.run(start=2, end=END_SEQ, backfill=True)
+    return job, reports
+
+
+def test_full_replay_matches_oracle(spark, events_path, oracle_state,
+                                    tmp_path):
+    job, reports = run_job(spark, events_path, str(tmp_path / "wh"))
+    assert all(not r.skipped for r in reports)
+    engine = state_from_target(job.target.read(spark).collect())
+    assert_states_equal(engine, oracle_state)
+    # sanity: stream exercised all the interesting paths
+    assert any(r["deleted"] for r in engine.values())
+    assert any(r["live_until"] is not None for r in engine.values())
+    assert any(r["tokens"] is None for r in engine.values())
+
+
+def test_epoch_slicing_invariance(spark, events_path, oracle_state, tmp_path):
+    """Any epoch size converges to the same state — the property that
+    makes resume/backfill safe (≙ docs/devops.md:10-13)."""
+    job, _ = run_job(spark, events_path, str(tmp_path / "wh2"))
+    # different slicing: one giant epoch
+    cfg = JobConfig(events_path=events_path, warehouse=str(tmp_path / "wh3"),
+                    num_buckets=8, epoch_size=10_000)
+    job3 = IngestJob(spark, cfg)
+    job3.run(start=2, end=END_SEQ, backfill=True)
+    a = state_from_target(job.target.read(spark).collect())
+    b = state_from_target(job3.target.read(spark).collect())
+    assert_states_equal(a, b)
+    assert_states_equal(a, oracle_state)
+
+
+def test_salted_dedup_same_result(spark, events_path, oracle_state, tmp_path):
+    """Explicit two-phase salted dedup (hot-key path) is semantics-
+    preserving."""
+    job, _ = run_job(spark, events_path, str(tmp_path / "whs"),
+                     salt_buckets=7)
+    engine = state_from_target(job.target.read(spark).collect())
+    assert_states_equal(engine, oracle_state)
+
+
+def test_resume_is_noop_and_restart_converges(spark, events_path,
+                                              oracle_state, tmp_path):
+    """Exactly-once: (1) re-running a fully committed range skips every
+    epoch and changes nothing; (2) a run interrupted mid-range resumes
+    from the checkpoint watermark and converges to the same state."""
+    wh = str(tmp_path / "whr")
+    end = END_SEQ
+    cfg = JobConfig(events_path=events_path, warehouse=wh, num_buckets=8,
+                    epoch_size=50)
+    job = IngestJob(spark, cfg)
+
+    # run only the first 3 epochs, then "crash"
+    _, epochs = job.plan(start=2, end=end, backfill=True)
+    for lo, hi in epochs[:3]:
+        job.apply_epoch(lo, hi)
+    v_after_partial = job.target.version
+
+    # restart: fresh job object, resume from watermark (no backfill)
+    job2 = IngestJob(spark, JobConfig(events_path=events_path, warehouse=wh,
+                                      num_buckets=8, epoch_size=50))
+    assert job2.resume_watermark() == epochs[2][1]
+    job2.run(start=2, end=end)
+    engine = state_from_target(job2.target.read(spark).collect())
+    assert_states_equal(engine, oracle_state)
+    assert job2.target.version > v_after_partial
+
+    # re-run the full range again: every epoch skipped, snapshot unchanged
+    v_final = job2.target.version
+    reports = IngestJob(spark, JobConfig(events_path=events_path,
+                                         warehouse=wh, num_buckets=8,
+                                         epoch_size=50)).run(start=2, end=end,
+                                                             backfill=True)
+    assert all(r.skipped for r in reports)
+    assert job2.target.refresh().version == v_final
+
+
+def test_reapplying_committed_epoch_is_noop(spark, events_path, oracle_state,
+                                            tmp_path):
+    """Crash between target commit and checkpoint marker → the epoch is
+    re-applied; the strict LWW condition makes it content-neutral."""
+    wh = str(tmp_path / "whc")
+    end = END_SEQ
+    job, _ = run_job(spark, events_path, wh)
+    state_before = state_from_target(job.target.read(spark).collect())
+    # simulate the crash: force re-apply of an already-applied epoch
+    _, epochs = job.plan(start=2, end=end, backfill=True)
+    job_forced = IngestJob(spark, JobConfig(events_path=events_path,
+                                            warehouse=wh, num_buckets=8,
+                                            epoch_size=50))
+    lo, hi = 2, 51
+    # bypass the checkpoint guard exactly like a lost marker would
+    from stellar_ledger_data_indexer_spark.operators.cdc import (
+        project_base, project_enrich)
+    from stellar_ledger_data_indexer_spark.operators.dedup import (
+        dedup_enrich_candidates, dedup_lww)
+    from stellar_ledger_data_indexer_spark.operators.merge import (
+        merge_enrich, merge_upsert_lww)
+    events = read_change_events(spark, events_path, lo, hi)
+    deduped = dedup_lww(project_base(events), first_seq_col="seq")
+    merge_upsert_lww(spark, job_forced.target, deduped.drop("pos"))
+    merge_enrich(spark, job_forced.target,
+                 dedup_enrich_candidates(project_enrich(events)))
+    state_after = state_from_target(job_forced.target.read(spark).collect())
+    assert_states_equal(state_after, state_before)
