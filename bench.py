@@ -1,0 +1,118 @@
+"""Bench harness — one JSON line to stdout.
+
+Headline: CDC replay throughput (change-events/sec through the full
+pipeline: pruned scan → projection → LWW dedup → bucket-pruned MERGE →
+enrichment MERGE → checkpoint) on a deterministic synthetic stream sized
+to the scale factor, plus per-query wall times for the operator catalog
+on $SPARK_GRAFT_SF_DIR tables.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores),
+     SLDI_BENCH_EVENTS (override event count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stellar_ledger_data_indexer_spark.job import IngestJob, JobConfig
+from stellar_ledger_data_indexer_spark.session import cores, get_spark
+from stellar_ledger_data_indexer_spark.sources.change_stream import (
+    StreamSpec, write_change_events)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+QUERY_NAMES = [
+    "cdc_filter_project", "cdc_image_select", "window_dedup_lww",
+    "max_seq", "range_scan", "toid_pack", "sha256_key_hash",
+    "enum_normalize", "ts_convert", "enrich_monotonic", "agg_counts",
+    "exact_dedup", "token_count", "text_stats", "lang_id",
+    "ngram_jaccard_pairs", "embedding_neardup", "cosine_knn",
+    "minhash_pairs", "simhash_signatures", "cosine_knn_lsh",
+]
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def bench_replay(spark, n_events: int, work_dir: str,
+                 parallelism: int) -> dict:
+    """Timed section: replay only (generation is setup)."""
+    events_path = os.path.join(work_dir, "change_events")
+    spec = StreamSpec(n_events=n_events, n_docs=max(n_events // 12, 1000),
+                      events_per_seq=max(n_events // 40, 100),
+                      tok_len_min=8, tok_len_max=64)
+    write_change_events(spark, events_path, spec, partitions=parallelism * 2)
+    wh = os.path.join(work_dir, "warehouse")
+    shutil.rmtree(wh, ignore_errors=True)
+    # num_buckets fixed (not a function of parallelism) so scaling runs
+    # compare identical workloads
+    job = IngestJob(spark, JobConfig(
+        events_path=events_path, warehouse=wh, num_buckets=64,
+        epoch_size=max((n_events // spec.events_per_seq)
+                       // int(os.environ.get("SLDI_BENCH_EPOCHS", "4")) + 1, 1)))
+    t0 = time.monotonic()
+    reports = job.run(start=2, end=0, backfill=True)
+    wall = time.monotonic() - t0
+    return {"replay_sec": round(wall, 3),
+            "events": n_events,
+            "events_per_sec": round(n_events / wall, 1),
+            "epochs": len(reports),
+            "rows_upserted": sum(r.rows_upserted for r in reports)}
+
+
+def bench_queries(spark) -> dict[str, float]:
+    from stellar_ledger_data_indexer_spark.plans.queries import QUERY_FNS
+    out = {}
+    for name in QUERY_NAMES:
+        fn = QUERY_FNS[name]
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        out[name] = round(time.monotonic() - t0, 3)
+        _ = n
+    return out
+
+
+def main() -> int:
+    par = cores()
+    sf = sf_of(SF_DIR)
+    n_events = int(os.environ.get("SLDI_BENCH_EVENTS",
+                                  max(int(20_000_000 * sf), 100_000)))
+    spark = get_spark(app="sldi-bench", master=f"local[{par}]",
+                      shuffle_partitions=par * 2,
+                      extra={"spark.ui.enabled": "false"})
+    work = os.environ.get("SLDI_BENCH_DIR", "/tmp/sldi_bench")
+    os.makedirs(work, exist_ok=True)
+    try:
+        replay = bench_replay(spark, n_events, work, par)
+        queries = ({} if os.environ.get("SLDI_BENCH_REPLAY_ONLY")
+                   else bench_queries(spark))
+        total = replay["replay_sec"] + sum(queries.values())
+        print(json.dumps({
+            "metric": "cdc_replay_plus_catalog_wall",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "replay": replay,
+            "parallelism": par,
+        }))
+        return 0
+    finally:
+        spark.stop()
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

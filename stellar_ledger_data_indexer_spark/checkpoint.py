@@ -17,14 +17,18 @@ AFTER the target table's merge snapshots commit. The crash matrix:
 epoch, taken from the committed manifest's file statistics — zero extra
 Spark jobs. ``_metrics`` is the Prometheus analog
 (internal/utils/metrics.go:32-152) as an appendable table.
+
+All three are tiny control tables: reads/writes go through the
+LakeTable driver-side pyarrow path (append_rows/read_rows) so an epoch
+spends its Spark jobs only on data, never on bookkeeping.
 """
 
 from __future__ import annotations
 
 import time
+from datetime import datetime, timezone
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 from .lake.table import LakeTable
 from .schema import CHECKPOINTS, LINEAGE, METRICS
@@ -35,32 +39,27 @@ class CheckpointLog:
         self.table = (LakeTable(path) if LakeTable.exists(path)
                       else LakeTable.create(path, CHECKPOINTS))
 
-    def committed_epochs(self, spark: SparkSession) -> set[int]:
-        if not self.table.refresh().files:
-            return set()
-        rows = self.table.read(spark).select("epoch_id").collect()
-        return {int(r["epoch_id"]) for r in rows}
+    def committed_epochs(self, spark: SparkSession | None = None) -> set[int]:
+        self.table.refresh()
+        return {int(r["epoch_id"])
+                for r in self.table.read_rows(columns=["epoch_id"])}
 
-    def is_committed(self, spark: SparkSession, epoch_id: int) -> bool:
-        return epoch_id in self.committed_epochs(spark)
+    def is_committed(self, spark: SparkSession | None, epoch_id: int) -> bool:
+        return epoch_id in self.committed_epochs()
 
-    def max_committed_hi(self, spark: SparkSession) -> int:
+    def max_committed_hi(self, spark: SparkSession | None = None) -> int:
         """Resume watermark (≙ S3 — coalesce(max, 0) matches the
         reference's empty-table → 0 behavior, internal/main.go:170-174)."""
-        if not self.table.refresh().files:
-            return 0
-        row = self.table.read(spark).agg(
-            F.coalesce(F.max("hi_seq"), F.lit(0)).alias("m")).collect()[0]
-        return int(row["m"])
+        self.table.refresh()
+        rows = self.table.read_rows(columns=["hi_seq"])
+        return max((int(r["hi_seq"]) for r in rows), default=0)
 
-    def commit(self, spark: SparkSession, epoch_id: int, lo: int, hi: int,
-               target_snapshot: int, rows_upserted: int,
+    def commit(self, spark: SparkSession | None, epoch_id: int, lo: int,
+               hi: int, target_snapshot: int, rows_upserted: int,
                rows_enriched: int) -> None:
-        from datetime import datetime, timezone
-        df = spark.createDataFrame(
-            [(epoch_id, lo, hi, target_snapshot, rows_upserted,
-              rows_enriched, datetime.now(timezone.utc))], CHECKPOINTS)
-        self.table.append(df.select([f.name for f in CHECKPOINTS.fields]))
+        self.table.append_rows([
+            (epoch_id, lo, hi, target_snapshot, rows_upserted,
+             rows_enriched, datetime.now(timezone.utc))])
 
 
 class LineageLog:
@@ -68,7 +67,7 @@ class LineageLog:
         self.table = (LakeTable(path) if LakeTable.exists(path)
                       else LakeTable.create(path, LINEAGE))
 
-    def record_from_manifest(self, spark: SparkSession, epoch_id: int,
+    def record_from_manifest(self, spark: SparkSession | None, epoch_id: int,
                              target: LakeTable, buckets: list[int],
                              rows_in_by_bucket: dict[int, int] | None = None)\
             -> None:
@@ -80,9 +79,9 @@ class LineageLog:
         for f in target.refresh().files:
             if f.bucket in counts:
                 counts[f.bucket] += f.rows
-        rows = [(epoch_id, b, (rows_in_by_bucket or {}).get(b), counts[b])
-                for b in buckets]
-        self.table.append(spark.createDataFrame(rows, LINEAGE))
+        self.table.append_rows(
+            [(epoch_id, b, (rows_in_by_bucket or {}).get(b), counts[b])
+             for b in buckets])
 
 
 class MetricsLog:
@@ -90,13 +89,13 @@ class MetricsLog:
         self.table = (LakeTable(path) if LakeTable.exists(path)
                       else LakeTable.create(path, METRICS))
 
-    def record(self, spark: SparkSession, epoch_id: int, dataset: str,
+    def record(self, spark: SparkSession | None, epoch_id: int, dataset: str,
                rows_read: int | None, rows_deduped: int | None,
                rows_matched: int | None, rows_inserted: int | None,
                rows_updated: int | None, wall_secs: float) -> None:
-        self.table.append(spark.createDataFrame(
+        self.table.append_rows(
             [(epoch_id, dataset, rows_read, rows_deduped, rows_matched,
-              rows_inserted, rows_updated, float(wall_secs))], METRICS))
+              rows_inserted, rows_updated, float(wall_secs))])
 
 
 def now() -> float:

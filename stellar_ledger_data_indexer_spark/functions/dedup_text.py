@@ -1,0 +1,203 @@
+"""Document deduplication operators — exact, MinHash+LSH, SimHash,
+n-gram Jaccard — over a ``documents`` table.
+
+Training-data-pipeline first-class citizens (the in-batch LWW dedup D1
+handles *key* duplicates; these handle *content* duplicates). Design
+for 100 TB:
+
+- exact dedup: one groupBy on a 128-bit content fingerprint — map-side
+  partial agg, minimal shuffle width (hash + id only).
+- MinHash+LSH: signatures are pure JVM expressions (array_min over
+  transform(shingles, xxhash64(...))); banding explodes to (band,
+  band_hash) buckets and candidate pairs come from a bucket-local
+  self-join — the shuffle moves (bucket_key, doc_id) pairs, never text.
+  Verification joins text back only for the candidate set.
+- SimHash: 64-bit signature via a vectorized pandas UDF (bit-count
+  majority over shingle hashes); near-dup = Hamming distance on two
+  longs (JVM bit ops).
+- n-gram Jaccard: exact set overlap on candidate pairs (the verifier
+  for the approximate methods, or standalone on small candidate sets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .text import text_fingerprint
+
+
+# --------------------------------------------------------------- exact
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: fingerprint →
+    (canonical id = min id, dup count). Keep rows with n_dups > 1 to list
+    duplicate groups."""
+    return (docs
+            .select(F.col(id_col), text_fingerprint(F.col(text_col))
+                    .alias("fingerprint"))
+            .groupBy("fingerprint")
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count("*").cast("long").alias("n_dups")))
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per content fingerprint."""
+    w = (docs.select(F.col(id_col).alias("_id"),
+                     text_fingerprint(F.col(text_col)).alias("_fp"))
+         .groupBy("_fp").agg(F.min("_id").alias(id_col)))
+    return docs.join(w.select(id_col), id_col, "inner")
+
+
+# ------------------------------------------------------------- shingles
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of word n-gram strings (lowercased, whitespace-tokenized) —
+    JVM-only: split + transform + slice + concat_ws."""
+    words = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), k)  # 1-based slice positions
+    return F.transform(idx, lambda i: F.concat_ws(
+        " ", F.slice(words, i, n)))
+
+
+# -------------------------------------------------------------- minhash
+def minhash_signature(shingles: Column, num_perm: int = 32,
+                      seed: int = 7) -> Column:
+    """num_perm-wide MinHash signature. The shingle strings are hashed
+    ONCE (xxhash64); each permutation is a cheap integer re-hash of that
+    long — num_perm string hashes per shingle would dominate the scan.
+    Pure JVM (transform + array_min); empty shingle set → nulls."""
+    base = F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)))
+    sigs = [F.array_min(F.transform(
+        base, lambda h: F.xxhash64(h, F.lit(seed + 1 + i))))
+        for i in range(num_perm)]
+    return F.array(*sigs)
+
+
+def minhash_bands(sig: Column, num_bands: int = 8,
+                  rows_per_band: int = 4) -> Column:
+    """LSH banding: array of (band, hash-of-band-slice). Docs sharing any
+    band hash are candidates."""
+    bands = [F.struct(F.lit(b).alias("band"),
+                      F.xxhash64(F.concat_ws(
+                          ",", *[F.element_at(sig, b * rows_per_band + r + 1)
+                                 .cast("string")
+                                 for r in range(rows_per_band)]))
+                      .alias("bucket"))
+             for b in range(num_bands)]
+    return F.array(*bands)
+
+
+def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", shingle_n: int = 3,
+                            num_perm: int = 32, num_bands: int = 8,
+                            seed: int = 7) -> DataFrame:
+    """(id_a, id_b, n_shared_bands) candidate near-dup pairs via LSH.
+
+    Physical shape: explode shingle hashes once, then ONE grouped
+    aggregation computes all num_perm minima (map-side partial agg —
+    each shingle hashed exactly once). The array-expression formulation
+    (minhash_signature inside a single projection) is quadratic in
+    practice: Catalyst re-evaluates the signature subtree per band
+    reference (no CSE across element_at) — measured 25s vs <2s on 500
+    docs. Downstream, the shuffle carries only (bucket, id): at 10^10
+    docs the explode is num_bands× the id column, never the corpus."""
+    rows_per_band = num_perm // num_bands
+    base = docs.select(
+        F.col(id_col),
+        F.explode(F.transform(word_shingles(F.col(text_col), shingle_n),
+                              lambda s: F.xxhash64(s, F.lit(seed))))
+        .alias("h"))
+    sig = base.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.col("h"), F.lit(seed + 1 + i)))
+          .alias(f"m{i}") for i in range(num_perm)])
+    bands = [F.struct(F.lit(bn).alias("band"),
+                      F.xxhash64(F.concat_ws(
+                          ",", *[F.col(f"m{bn * rows_per_band + r}")
+                                 .cast("string")
+                                 for r in range(rows_per_band)]))
+                      .alias("bucket"))
+             for bn in range(num_bands)]
+    banded = sig.select(id_col, F.explode(F.array(*bands)).alias("b"))
+    lhs = banded.select(F.col(id_col).alias("id_a"), "b")
+    rhs = banded.select(F.col(id_col).alias("id_b"), "b")
+    return (lhs.join(rhs, "b")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("long").alias("n_shared_bands")))
+
+
+# --------------------------------------------------------------- simhash
+@pandas_udf(T.LongType())
+def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash from per-row shingle-hash arrays: majority vote per
+    bit. Vectorized over the flattened values: the only loop is the 64
+    bit positions."""
+    vals = hashes.to_numpy()
+    isnull = np.array([v is None for v in vals])
+    lens = np.array([0 if n else len(v) for v, n in zip(vals, isnull)],
+                    dtype=np.int64)
+    offsets = np.zeros(len(vals) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = (np.concatenate([np.asarray(v, dtype=np.int64)
+                            for v, n in zip(vals, isnull) if not n and len(v)])
+            .astype(np.uint64) if offsets[-1] else np.empty(0, np.uint64))
+    out = np.zeros(len(vals), dtype=np.uint64)
+    nonempty = lens > 0
+    starts = offsets[:-1][nonempty]
+    for bit in range(64):
+        bits = ((flat >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+        if flat.size and nonempty.any():
+            ones = np.add.reduceat(bits, starts)
+            maj = ones * 2 >= lens[nonempty]
+            out[nonempty] |= maj.astype(np.uint64) << np.uint64(bit)
+    res = out.astype(np.int64).astype(object)
+    res[isnull | ~nonempty] = None
+    return pd.Series(res)
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            shingle_n: int = 3, seed: int = 7) -> DataFrame:
+    sh = word_shingles(F.col(text_col), shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed)))
+    return docs.select(F.col(id_col),
+                       _simhash_from_hashes(hashes).alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures — JVM bit_count."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# --------------------------------------------------------- ngram jaccard
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 2,
+                        threshold: float = 0.5,
+                        block_col: str | None = None) -> DataFrame:
+    """Exact n-gram-set Jaccard over pairs, optionally blocked by a
+    cheap key (e.g. lang) to bound the self-join. At scale this runs on
+    LSH candidates, not the full cross-product."""
+    blk = [F.col(block_col).alias("_blk")] if block_col else []
+    sets = docs.select(
+        F.col(id_col), *blk,
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        .alias("grams"))
+    a = sets.select(F.col(id_col).alias("id_a"),
+                    *(["_blk"] if block_col else []),
+                    F.col("grams").alias("grams_a"))
+    b = sets.select(F.col(id_col).alias("id_b"),
+                    *(["_blk"] if block_col else []),
+                    F.col("grams").alias("grams_b"))
+    joined = a.join(b, "_blk") if block_col else a.crossJoin(b)
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = (F.size("grams_a") + F.size("grams_b") - inter)
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (joined.filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))

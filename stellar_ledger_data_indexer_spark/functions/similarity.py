@@ -1,0 +1,142 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — JVM-only (zip_with + aggregate dot
+product), one scan, no shuffle beyond the top-k reduction. Scale path:
+LSH (random-hyperplane sign buckets) so the scan prunes to matching
+buckets, and an IVF-style coarse quantizer (argmin over centroid set).
+Embedding near-dup pairs reuse the same primitives.
+
+All plane/centroid constants are seeded numpy, shipped as literal arrays
+(broadcast with the plan) — deterministic across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def _lit_vec(v) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def cosine_topk(emb: DataFrame, query: list[float], k: int = 10,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Brute-force top-k by cosine to a literal query vector; ties broken
+    by id for determinism."""
+    q = _lit_vec(query)
+    scored = emb.select(F.col(id_col),
+                        F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def rp_planes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype("float32")
+
+
+def rp_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Random-hyperplane LSH bucket id: sign-bit per plane packed into a
+    long — JVM expressions only."""
+    bits = [F.when(dot(vec, _lit_vec(p)) >= 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long")) for p in planes]
+    acc = F.lit(0).cast("long")
+    for b in bits:
+        acc = F.shiftleft(acc, 1) + b  # pyspark 4: shiftleft alias kept
+    return acc
+
+
+def cosine_topk_lsh(emb: DataFrame, query: list[float], k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_planes: int = 8, seed: int = 42,
+                    probe_hamming: int = 1) -> DataFrame:
+    """LSH-pruned top-k: scan only rows whose sign-bucket is within
+    ``probe_hamming`` of the query's bucket (multi-probe). At 100 TB the
+    bucket is a persisted partition column → partition pruning; here it's
+    a filter on the packed bits."""
+    planes = rp_planes(len(query), n_planes, seed)
+    qbits = int("".join("1" if float(np.dot(p, np.asarray(query))) >= 0
+                        else "0" for p in planes), 2)
+    bucket = rp_bucket(F.col(vec_col), planes)
+    cand = emb.withColumn("_bkt", bucket).filter(
+        F.bit_count(F.col("_bkt").bitwiseXOR(F.lit(qbits)))
+        <= probe_hamming)
+    q = _lit_vec(query)
+    return (cand.select(F.col(id_col),
+                        F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+            .orderBy(F.desc("score"), F.col(id_col)).limit(k))
+
+
+def ivf_centroids(dim: int, n_centroids: int = 8, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed + 1)
+    return rng.randn(n_centroids, dim).astype("float32")
+
+
+def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
+    """Coarse-quantizer cell: argmax cosine over a literal centroid set
+    (deterministic tie-break by centroid index)."""
+    scored = [F.struct(F.round(cosine(vec, _lit_vec(c)), 6).alias("score"),
+                       F.lit(-i).alias("tie"), F.lit(i).alias("cell"))
+              for i, c in enumerate(centroids)]
+    return F.greatest(*scored)["cell"]
+
+
+def cosine_topk_ivf(emb: DataFrame, query: list[float], k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_centroids: int = 8, n_probe: int = 2,
+                    seed: int = 42) -> DataFrame:
+    """IVF search: assign rows to coarse cells, probe the n_probe cells
+    nearest the query, brute-force within."""
+    cents = ivf_centroids(len(query), n_centroids, seed)
+    qv = np.asarray(query, dtype="float64")
+
+    def cos(c):
+        d = np.linalg.norm(c) * np.linalg.norm(qv)
+        return float(np.dot(c, qv) / d) if d else 0.0
+    probe = sorted(range(len(cents)), key=lambda i: (-cos(cents[i]), i))[:n_probe]
+    cell = ivf_assign(F.col(vec_col), cents)
+    cand = emb.withColumn("_cell", cell).filter(F.col("_cell").isin(probe))
+    q = _lit_vec(query)
+    return (cand.select(F.col(id_col),
+                        F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+            .orderBy(F.desc("score"), F.col(id_col)).limit(k))
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-blocked: exact cosine only
+    within same sign-bucket (candidate generation identical in spirit to
+    minhash_candidate_pairs — shuffle carries (bucket, id, vec))."""
+    planes_arr = rp_planes(
+        len(emb.select(vec_col).first()[0]), n_planes, seed)
+    b = emb.select(F.col(id_col), F.col(vec_col),
+                   rp_bucket(F.col(vec_col), planes_arr).alias("_bkt"))
+    lhs = b.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("va"), "_bkt")
+    rhs = b.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("vb"), "_bkt")
+    return (lhs.join(rhs, "_bkt")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(cosine(F.col("va"), F.col("vb")), 6)
+                    .alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))

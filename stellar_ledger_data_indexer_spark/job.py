@@ -45,6 +45,50 @@ class JobConfig:
     epoch_size: int = 1000          # seqs per epoch
     salt_buckets: int = 0           # >1 → explicit two-phase salted dedup
     strict_ops: bool = True
+    fused_merge: bool = True        # one-write epoch (upsert+enrich fused)
+
+
+def apply_change_batch(spark: SparkSession, target: LakeTable, events,
+                       salt_buckets: int = 0, strict_ops: bool = False,
+                       fused: bool = True):
+    """The epoch body, reusable by the batch job and the streaming sink:
+    base stage (project → LWW dedup → upsert merge), then enrichment
+    stage — the fixed dataset order of the reference
+    (internal/main.go:127-144). Returns (base MergeResult, enrich
+    MergeResult, (base_wall, enrich_wall)).
+
+    ``fused=True`` (default) resolves both stages in one plan with one
+    copy-on-write rewrite (merge_upsert_and_enrich) — half the target
+    I/O per epoch; the sequential two-merge path is kept for parity
+    testing and for targets whose schema predates the enrichment column
+    (≙ contract_data before the 20260203 migration added live_until —
+    enrichment events are unappliable then, exactly like the reference).
+    """
+    from .operators.merge import MergeResult, merge_upsert_and_enrich
+
+    if strict_ops:
+        events = validate_ops(events)
+    has_enrich_col = "live_until" in {f.name for f in target.schema().fields}
+    t0 = now()
+    base = project_base(events)
+    deduped = dedup_lww(base, key_cols=("doc_id",), order_cols=("seq", "pos"),
+                        salt_buckets=salt_buckets,
+                        first_seq_col="seq").drop("pos")
+    if fused and has_enrich_col:
+        cand = dedup_enrich_candidates(project_enrich(events))
+        res = merge_upsert_and_enrich(spark, target, deduped, cand)
+        wall = now() - t0
+        eres = MergeResult(version=res.version, updated=res.bumped,
+                           buckets=res.buckets)
+        return res, eres, (wall, 0.0)
+    mres = merge_upsert_lww(spark, target, deduped)
+    t1 = now()
+    if has_enrich_col:
+        enrich = dedup_enrich_candidates(project_enrich(events))
+        eres = merge_enrich(spark, target, enrich)
+    else:
+        eres = MergeResult(version=target.version)
+    return mres, eres, (t1 - t0, now() - t1)
 
 
 @dataclass
@@ -117,29 +161,19 @@ class IngestJob:
         if hi <= self.checkpoints.max_committed_hi(self.spark):
             return EpochReport(epoch_id, lo, hi, skipped=True,
                                target_snapshot=self.target.version)
-        t0 = now()
         events = read_change_events(self.spark, self.cfg.events_path, lo, hi)
-        if self.cfg.strict_ops:
-            events = validate_ops(events)
-
-        base = project_base(events)
-        deduped = dedup_lww(base, key_cols=("doc_id",),
-                            order_cols=("seq", "pos"),
-                            salt_buckets=self.cfg.salt_buckets,
-                            first_seq_col="seq")
-        mres = merge_upsert_lww(self.spark, self.target,
-                                deduped.drop("pos"))
-        t1 = now()
+        mres, eres, (base_wall, ttl_wall) = apply_change_batch(
+            self.spark, self.target, events,
+            salt_buckets=self.cfg.salt_buckets,
+            strict_ops=self.cfg.strict_ops,
+            fused=self.cfg.fused_merge)
         self.metrics.record(self.spark, epoch_id, "tokens", None, None,
                             mres.matched, mres.inserted, mres.updated,
-                            t1 - t0)
+                            base_wall)
         self.lineage.record_from_manifest(self.spark, epoch_id, self.target,
                                           mres.buckets)
-
-        enrich = dedup_enrich_candidates(project_enrich(events))
-        eres = merge_enrich(self.spark, self.target, enrich)
         self.metrics.record(self.spark, epoch_id, "ttl", None, None, None,
-                            None, eres.updated, now() - t1)
+                            None, eres.updated, ttl_wall)
 
         # marker written strictly last — the exactly-once commit point
         self.checkpoints.commit(self.spark, epoch_id, lo, hi,

@@ -262,6 +262,12 @@ class LakeTable:
 
         commit_id = f"commit-{uuid.uuid4().hex[:12]}"
         staging = os.path.join(self.path, DATA_DIR, commit_id)
+        if partitioned:
+            # co-locate each bucket into (usually) one task before the
+            # partitioned write: otherwise partitionBy opens one file per
+            # (shuffle task × bucket) — a small-file explosion that grows
+            # with cluster size (file count, footer scans, later reads)
+            df = df.repartition(self.num_buckets, F.col(BUCKET_COL))
         writer = df.write.mode("errorifexists")
         if partitioned:
             writer = writer.partitionBy(BUCKET_COL)
@@ -311,6 +317,53 @@ class LakeTable:
         self._write_manifest(self.path, new_man)
         self.manifest = new_man
         return new_man["version"]
+
+    def append_rows(self, rows: list[tuple],
+                    summary: dict[str, Any] | None = None) -> int:
+        """Driver-side append for small control tables (checkpoints,
+        metrics, lineage): a one-file parquet commit via pyarrow — no
+        Spark job. The table format is identical; Spark reads it like any
+        other snapshot. Only for unpartitioned tables."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if self.num_buckets:
+            raise ValueError("append_rows is for unpartitioned tables")
+        if not rows:
+            return self.version
+        spark_schema = self.schema()
+        cols = list(zip(*rows))
+        arrays, names = [], []
+        for i, f in enumerate(spark_schema.fields):
+            t = f.dataType.typeName()
+            pa_t = {"long": pa.int64(), "integer": pa.int32(),
+                    "double": pa.float64(), "string": pa.string(),
+                    "boolean": pa.bool_(),
+                    "timestamp": pa.timestamp("us", tz="UTC")}.get(t)
+            if pa_t is None:
+                raise ValueError(f"append_rows: unsupported type {t}")
+            arrays.append(pa.array(cols[i], type=pa_t))
+            names.append(f.name)
+        commit_id = f"commit-{uuid.uuid4().hex[:12]}"
+        rel_dir = os.path.join(DATA_DIR, commit_id)
+        os.makedirs(os.path.join(self.path, rel_dir), exist_ok=True)
+        rel = os.path.join(rel_dir, "part-00000.parquet")
+        pq.write_table(pa.Table.from_arrays(arrays, names=names),
+                       os.path.join(self.path, rel))
+        f = DataFile(rel, None, len(rows), self.schema_version)
+        return self._commit([f], set(), "append", summary or {})
+
+    def read_rows(self, columns: list[str] | None = None) -> list[dict]:
+        """Driver-side read of a small unpartitioned table via pyarrow —
+        no Spark job (resume-watermark checks run once per epoch)."""
+        import pyarrow.parquet as pq
+
+        out: list[dict] = []
+        for f in self.files:
+            t = pq.read_table(os.path.join(self.path, f.path),
+                              columns=columns)
+            out.extend(t.to_pylist())
+        return out
 
     def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
         """Append rows (used by checkpoint / metrics / lineage tables).

@@ -1,0 +1,413 @@
+"""The operator catalog: every SURVEY.md §2 operator (plus the
+training-data-pipeline operators) expressed as a (Spark DataFrame
+callable, DuckDB oracle SQL) pair over the driver's testdata tables.
+
+Conventions for oracle parity:
+- every computed column aliased identically on both sides;
+- float-valued outputs either integerized (``cast(x*100 as bigint)`` —
+  bit-identical IEEE product then exact integer sum/compare) or rounded
+  to a fixed scale with order-insensitive aggregation;
+- regexp_replace on the DuckDB side always passes the 'g' flag (Spark
+  replaces all matches by default, DuckDB only the first);
+- tie-breaks always explicit (order by id, fixed language preference).
+
+Each entry names the reference operator(s) it covers (S/F/P/D/A ids from
+SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions.dedup_text import (exact_duplicates, minhash_candidate_pairs,
+                                    simhash, word_shingles)
+from ..functions.similarity import cosine, cosine_topk_lsh
+
+QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERY_FNS[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- CDC core
+
+@_q("cdc_filter_project", """
+SELECT event_id, user_id, CAST(FLOOR(value * 100) AS BIGINT) AS value_c
+FROM events WHERE event_type = 'click'
+""")
+def cdc_filter_project(spark, sf):
+    """F1 type filter + P1 projection: predicate and pruning reach the
+    parquet scan (PushedFilters)."""
+    e = _t(spark, sf, "events")
+    return (e.filter(F.col("event_type") == "click")
+            .select("event_id", "user_id",
+                    F.floor(F.col("value") * 100).cast("bigint").alias("value_c")))
+
+
+@_q("cdc_image_select", """
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN 'delete'
+            WHEN event_type = 'signup' THEN 'insert'
+            ELSE 'update' END AS op,
+       event_type = 'error' AS deleted
+FROM events
+""")
+def cdc_image_select(spark, sf):
+    """F3 CDC image selection: change-type → op domain + deleted flag
+    (≙ ExtractEntryFromChange, internal/contract/utils.go:14-25)."""
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "signup", "insert")
+        .otherwise("update").alias("op"),
+        (F.col("event_type") == "error").alias("deleted"))
+
+
+@_q("window_dedup_lww", """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t WHERE rn = 1
+""")
+def window_dedup_lww(spark, sf):
+    """D1 keep-latest dedup in its SQL-checkable row_number form
+    (the engine hot path uses the max_by aggregation, operators/dedup)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"),
+                                              F.desc("event_id"))
+    return (e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type"))
+
+
+@_q("max_seq", """
+SELECT COALESCE(MAX(event_id), 0) AS max_seq FROM events
+""")
+def max_seq(spark, sf):
+    """S2/S3 latest-sequence probe with the empty→0 convention
+    (internal/main.go:170-174)."""
+    e = _t(spark, sf, "events")
+    return e.agg(F.coalesce(F.max("event_id"), F.lit(0)).alias("max_seq"))
+
+
+@_q("range_scan", """
+SELECT event_id, user_id, event_type FROM events
+WHERE event_id BETWEEN 1000 AND 1999
+""")
+def range_scan(spark, sf):
+    """S1 bounded range scan (epoch read shape; min/max pruning)."""
+    e = _t(spark, sf, "events")
+    return (e.filter(F.col("event_id").between(1000, 1999))
+            .select("event_id", "user_id", "event_type"))
+
+
+@_q("toid_pack", """
+SELECT event_id,
+       (event_id << 32) | (user_id << 12) AS toid
+FROM events
+""")
+def toid_pack(spark, sf):
+    """P11 TOID packing: ledger<<32 | tx<<12
+    (internal/contract/contract_events.go:42)."""
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.shiftleft(F.col("event_id"), 32)
+        .bitwiseOR(F.shiftleft(F.col("user_id"), 12)).alias("toid"))
+
+
+@_q("sha256_key_hash", """
+SELECT doc_id, sha256(text) AS key_hash FROM documents
+""")
+def sha256_key_hash(spark, sf):
+    """P2 row-identity hash (hex(SHA-256),
+    internal/contract/utils.go:37-43)."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", F.sha2(F.col("text"), 256).alias("key_hash"))
+
+
+@_q("enum_normalize", """
+SELECT doc_id,
+       CASE WHEN lang IN ('en', 'de') THEN 'germanic'
+            WHEN lang IN ('es', 'fr') THEN 'romance'
+            ELSE 'other' END AS lang_family
+FROM documents
+""")
+def enum_normalize(spark, sf):
+    """P5 enum normalization (≙ durability → persistent/temporary,
+    internal/db/contract_data.go:64-68)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.col("lang").isin("en", "de"), "germanic")
+        .when(F.col("lang").isin("es", "fr"), "romance")
+        .otherwise("other").alias("lang_family"))
+
+
+@_q("ts_convert", """
+SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS unix_s FROM events
+""")
+def ts_convert(spark, sf):
+    """P3 timestamp conversion (unix ↔ UTC,
+    internal/contract/utils.go:28-34)."""
+    e = _t(spark, sf, "events")
+    return e.select("event_id",
+                    F.unix_timestamp("ts").cast("bigint").alias("unix_s"))
+
+
+@_q("enrich_monotonic", """
+WITH latest AS (
+  SELECT user_id, value FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) t WHERE rn = 1),
+bumps AS (
+  SELECT user_id, MAX(value) AS bump FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT l.user_id,
+       CAST(FLOOR((CASE WHEN b.bump IS NOT NULL AND b.bump > l.value
+                  THEN b.bump ELSE l.value END) * 100) AS BIGINT)
+       AS live_until_c
+FROM latest l LEFT JOIN bumps b ON l.user_id = b.user_id
+""")
+def enrich_monotonic(spark, sf):
+    """S6 update-only monotonic enrichment as a SQL-checkable join:
+    base state bumped by a secondary stream only when the new value is
+    greater (≙ EnrichExistingRows, internal/db/utils.go:132-170)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"),
+                                              F.desc("event_id"))
+    latest = (e.withColumn("rn", F.row_number().over(w))
+              .filter("rn = 1").select("user_id", "value"))
+    bumps = (e.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id").agg(F.max("value").alias("bump")))
+    j = latest.join(bumps, "user_id", "left")
+    newv = F.when(F.col("bump").isNotNull()
+                  & (F.col("bump") > F.col("value")),
+                  F.col("bump")).otherwise(F.col("value"))
+    return j.select("user_id",
+                    F.floor(newv * 100).cast("bigint").alias("live_until_c"))
+
+
+@_q("agg_counts", """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS total_c
+FROM events GROUP BY event_type
+""")
+def agg_counts(spark, sf):
+    """A1/A2 aggregation metrics (integerized before summing → exact,
+    order-independent)."""
+    e = _t(spark, sf, "events")
+    return (e.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+                 .alias("total_c")))
+
+
+# -------------------------------------------------- training-data pipeline
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+@_q("exact_dedup", f"""
+SELECT md5({_NORM_SQL}) AS fingerprint,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+""")
+def exact_dedup(spark, sf):
+    """Exact content dedup: normalized-text fingerprint → canonical id +
+    group size (hash-groupBy; map-side combined)."""
+    d = _t(spark, sf, "documents")
+    return exact_duplicates(d)
+
+
+@_q("token_count", """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(string_split_regex(trim(text), '\\s+')) END
+       AS n_tokens
+FROM documents
+""")
+def token_count(spark, sf):
+    """Whitespace token counting (tokenizer-cost proxy)."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+
+
+@_q("text_stats", """
+SELECT doc_id,
+       length(text) AS n_chars_exact,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+       length(text) - length(replace(text, ' ', '')) AS space_chars
+FROM documents
+""")
+def text_stats(spark, sf):
+    """Quality-score raw components as exact integers."""
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars_exact"),
+        F.length(F.regexp_replace(t, "[^A-Za-z]", "")).alias("alpha_chars"),
+        (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))))
+        .alias("space_chars"))
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = TX.STOPWORDS[lang]
+    sq = ("regexp_replace(' ' || lower(text) || ' ', '\\s+', ' ', 'g')")
+    terms = [f"CAST((length({sq}) - length(replace({sq}, ' {w} ', ' ')))"
+             f" / {len(w) + 2 - 1} AS INT)" for w in words]
+    return " + ".join(terms)
+
+
+@_q("lang_id", f"""
+SELECT doc_id,
+  CASE
+    WHEN ({_lang_score_sql('en')}) > 0
+     AND ({_lang_score_sql('en')}) >= ({_lang_score_sql('de')})
+     AND ({_lang_score_sql('en')}) >= ({_lang_score_sql('es')})
+     AND ({_lang_score_sql('en')}) >= ({_lang_score_sql('fr')}) THEN 'en'
+    WHEN ({_lang_score_sql('de')}) > 0
+     AND ({_lang_score_sql('de')}) >= ({_lang_score_sql('es')})
+     AND ({_lang_score_sql('de')}) >= ({_lang_score_sql('fr')}) THEN 'de'
+    WHEN ({_lang_score_sql('es')}) > 0
+     AND ({_lang_score_sql('es')}) >= ({_lang_score_sql('fr')}) THEN 'es'
+    WHEN ({_lang_score_sql('fr')}) > 0 THEN 'fr'
+    ELSE 'und' END AS lang_pred
+FROM documents
+""")
+def lang_id(spark, sf):
+    """Stopword-heuristic language ID, fixed preference tie-break."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@_q("ngram_jaccard_pairs", """
+WITH norm AS (
+  SELECT doc_id, lang,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      ' ') AS words
+  FROM documents WHERE doc_id < 200),
+gr AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(list_zip(words, words[2:]),
+                               x -> x[1] || ' ' || x[2])) AS gram
+  FROM norm),
+g AS (SELECT DISTINCT doc_id, lang, gram FROM gr WHERE gram IS NOT NULL),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND a.lang = b.lang
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3
+""")
+def ngram_jaccard_pairs_q(spark, sf):
+    """Exact word-bigram Jaccard near-dup pairs (lang-blocked, id<200
+    slice so the oracle's pair join stays small)."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    grams = d.select(
+        "doc_id", "lang",
+        F.array_distinct(word_shingles(F.col("text"), 2)).alias("grams"))
+    a = grams.select(F.col("doc_id").alias("id_a"), F.col("lang"),
+                     F.col("grams").alias("ga"))
+    b = grams.select(F.col("doc_id").alias("id_b"), F.col("lang"),
+                     F.col("grams").alias("gb"))
+    j = a.join(b, "lang").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    jac = inter * F.lit(1.0) / union
+    return (j.filter(inter > 0)
+            .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+            .filter(jac >= 0.3))
+
+
+@_q("embedding_neardup", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.label = b.label
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+""")
+def embedding_neardup(spark, sf):
+    """Embedding-cosine near-dup pairs (label-blocked exact baseline; the
+    LSH-blocked variant is `embedding_neardup_lsh`, rows-only)."""
+    e = _t(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"),
+                 F.col("label").alias("la"),
+                 F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"),
+                 F.col("label").alias("lb"),
+                 F.col("embedding").alias("vb"))
+    j = (a.join(b, (F.col("la") == F.col("lb"))
+                & (F.col("id_a") < F.col("id_b"))))
+    return (j.filter(cosine(F.col("va"), F.col("vb")) >= 0.99)
+            .select("id_a", "id_b"))
+
+
+@_q("cosine_knn", """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(embedding, (SELECT qv FROM q)), 4)
+       AS score
+FROM embeddings
+WHERE vec_id != 0
+  AND list_cosine_similarity(embedding, (SELECT qv FROM q)) >= 0.3
+""")
+def cosine_knn(spark, sf):
+    """Brute-force cosine similarity search vs the vec_id=0 query
+    (threshold form — a deterministic result set, unlike top-k ties)."""
+    e = _t(spark, sf, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    scored = e.filter(F.col("vec_id") != 0).select(
+        "vec_id", cosine(F.col("embedding"), q).alias("_s"))
+    return (scored.filter(F.col("_s") >= 0.3)
+            .select("vec_id", F.round("_s", 4).alias("score")))
+
+
+# ------------------------------------------------ approximate (rows-only)
+
+@_q("minhash_pairs")  # no oracle: xxhash64 has no DuckDB twin
+def minhash_pairs(spark, sf):
+    """MinHash+LSH candidate near-dup pairs (banded signatures; shuffle
+    carries (bucket, id) only)."""
+    d = _t(spark, sf, "documents")
+    return minhash_candidate_pairs(d, num_perm=16, num_bands=4)
+
+
+@_q("simhash_signatures")  # no oracle: xxhash64-based
+def simhash_signatures(spark, sf):
+    """64-bit SimHash per document (vectorized bit-majority pandas UDF)."""
+    d = _t(spark, sf, "documents")
+    return simhash(d)
+
+
+@_q("cosine_knn_lsh")  # no oracle: approximate by construction
+def cosine_knn_lsh(spark, sf):
+    """LSH-bucketed (multi-probe) cosine top-k — the 100 TB scale path."""
+    e = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return cosine_topk_lsh(e.filter(F.col("vec_id") != 0), qv, k=10)

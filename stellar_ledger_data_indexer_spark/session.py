@@ -25,8 +25,21 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.parquet.compression.codec": "snappy",
     # our tables carry explicit ordering columns; no need for costly sort before write
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
-    "spark.driver.memory": "8g",
 }
+
+
+def _default_driver_memory() -> str:
+    """Heap sized to parallelism: local-mode tasks share one JVM, so the
+    heap must scale with concurrent tasks or high core counts spill/GC
+    themselves slower than fewer cores (measured: local[32]@8g ran 0.8×
+    local[8]@8g; @32g it scales)."""
+    try:
+        import os
+        total_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") \
+            / (1024 ** 3)
+    except (ValueError, OSError):
+        total_gb = 16
+    return f"{max(4, min(int(total_gb * 0.4), 48))}g"
 
 
 def cores() -> int:
@@ -40,6 +53,13 @@ def get_spark(app: str = "sldi-spark", master: str | None = None,
     master = master or f"local[{n}]"
     b = SparkSession.builder.appName(app).master(master)
     confs = dict(DEFAULT_CONFS)
+    confs["spark.driver.memory"] = os.environ.get("SLDI_DRIVER_MEM",
+                                                  _default_driver_memory())
+    # shuffle/spill scratch: point at tmpfs for CPU-bound benchmarking
+    # (this box's /tmp disk tops out ~500 MB/s — it saturates long before
+    # 32 cores do)
+    if os.environ.get("SLDI_LOCAL_DIR"):
+        confs["spark.local.dir"] = os.environ["SLDI_LOCAL_DIR"]
     confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions or n)
     confs["spark.default.parallelism"] = str(n)
     if extra:

@@ -1,0 +1,80 @@
+"""Structured Streaming ingest — the unbounded-tail mode.
+
+The reference's unbounded mode tails the lake indefinitely
+(UnboundedRange, reference: internal/input/ledgerMetaDataReader.go:83-90).
+Here: ``readStream`` over the change-events directory (file source
+discovers new files as the producer lands them) with ``foreachBatch``
+applying the same merge pipeline as the batch job — micro-batch =
+epoch. Exactly-once = Spark streaming checkpoint (source offsets) +
+idempotent LWW merge (a replayed micro-batch after a crash re-applies
+as a no-op, same property the batch job relies on).
+
+Late data: the reference handles out-of-order ledgers not by watermark
+but by the LWW merge condition (an older event loses at merge time,
+internal/db/utils.go:115-118) — foreachBatch inherits exactly that for
+the base stream. The watermarked windowed aggregation below is the
+complementary event-time-metrics stream (late events beyond the
+watermark dropped).
+
+Source contract: files must arrive in seq order (the file source
+processes by modification time). The reference has the same contract —
+``ingest.ApplyLedgerMetadata`` iterates the ledger range strictly in
+order (internal/input/ledgerMetaDataReader.go:115-123). Base events
+tolerate disorder via LWW; ttl enrichment for a key whose FIRST base
+event is delivered in a LATER micro-batch would be dropped (exactly what
+the reference would do if ledgers arrived out of order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..job import apply_change_batch
+from ..lake.table import LakeTable
+from ..schema import CHANGE_EVENTS
+
+
+def stream_replay(spark: SparkSession, events_path: str, target: LakeTable,
+                  checkpoint_dir: str, salt_buckets: int = 0,
+                  max_files_per_trigger: int | None = None):
+    """Start a streaming replay into ``target``. Returns the
+    StreamingQuery; callers drive it with processAllAvailable()/stop()
+    (tests) or awaitTermination() (production tail)."""
+    reader = (spark.readStream.schema(CHANGE_EVENTS))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(events_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_change_batch(batch_df.sparkSession, target, batch_df,
+                           salt_buckets=salt_buckets)
+
+    return (events.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def windowed_event_metrics(spark: SparkSession, events_path: str,
+                           window: str = "1 minute",
+                           watermark: str = "2 minutes",
+                           query_name: str = "event_metrics"):
+    """Event-time windowed counts with a watermark (late-data bound):
+    the streaming analog of the _metrics table's per-range gauges
+    (internal/utils/metrics.go:85-133)."""
+    events = spark.readStream.schema(CHANGE_EVENTS).parquet(events_path)
+    agg = (events
+           .withWatermark("closed_at", watermark)
+           .groupBy(F.window("closed_at", window),
+                    F.col("entry_type"))
+           .agg(F.count("*").alias("n_events"),
+                F.approx_count_distinct("doc_id").alias("n_docs_approx")))
+    # complete mode: a metrics snapshot per trigger (append mode would
+    # withhold windows until a later batch advances the watermark past
+    # them — wrong fit for an availableNow catch-up run)
+    return (agg.writeStream.outputMode("complete")
+            .format("memory").queryName(query_name)
+            .trigger(availableNow=True)
+            .start())

@@ -1,0 +1,81 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() twin on DuckDB at sf0.01; compare
+row count, column names, and order-insensitive values."""
+
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    import __spark_entry__ as e
+    return e.queries(), e.oracle_sql()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 4)
+    if isinstance(v, bool):
+        return bool(v)
+    return v
+
+
+def _rows_to_set(cols, rows):
+    return sorted(tuple(_norm(v) for _, v in sorted(zip(cols, r)))
+                  for r in rows)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) >= 1
+
+
+def test_all_queries_run(spark, catalog):
+    qs, _ = catalog
+    assert len(qs) >= 15
+    for name, fn in qs.items():
+        df = fn(spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_oracle_parity(spark, ddb, catalog):
+    qs, oracles = catalog
+    failures = []
+    for name, sql in oracles.items():
+        sdf = qs[name](spark, SF_DIR)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        ocur = ddb.execute(sql)
+        ocols = [d[0] for d in ocur.description]
+        orows = ocur.fetchall()
+        if sorted(scols) != sorted(ocols):
+            failures.append(f"{name}: columns {scols} vs {ocols}")
+            continue
+        if len(srows) != len(orows):
+            failures.append(f"{name}: rowcount {len(srows)} vs {len(orows)}")
+            continue
+        a = _rows_to_set(scols, srows)
+        b = _rows_to_set(ocols, orows)
+        if a != b:
+            diff = [x for x, y in zip(a, b) if x != y][:3]
+            failures.append(f"{name}: values differ, e.g. {diff}")
+    assert not failures, "\n".join(failures)

@@ -1,0 +1,194 @@
+"""Unit tests for the vectorized token/text/dedup/similarity/multimodal
+function surface."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stellar_ledger_data_indexer_spark.functions.dedup_text import (
+    exact_duplicates, hamming64, minhash_candidate_pairs, simhash,
+    word_shingles)
+from stellar_ledger_data_indexer_spark.functions.multimodal import (
+    decode_image, extract_features, frame_sample_plan, resize_meta,
+    synth_media)
+from stellar_ledger_data_indexer_spark.functions.similarity import (
+    cosine, cosine_topk, cosine_topk_ivf, cosine_topk_lsh,
+    embedding_neardup_pairs)
+from stellar_ledger_data_indexer_spark.functions.text import (
+    lang_id, quality_score, token_count)
+from stellar_ledger_data_indexer_spark.functions.tokens import (
+    normalize_tokens_arrow, token_ngram_hashes, token_stats,
+    tokens_fingerprint, validate_tokens)
+
+TOK_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("tokens", T.ArrayType(T.IntegerType())),
+])
+
+
+def tok_df(spark, rows):
+    return spark.createDataFrame(rows, TOK_SCHEMA)
+
+
+# ----------------------------------------------------------------- tokens
+def test_tokens_fingerprint_deterministic_order_sensitive(spark):
+    df = tok_df(spark, [(1, [1, 2, 3]), (2, [3, 2, 1]), (3, [1, 2, 3]),
+                        (4, None), (5, [])])
+    out = {r["id"]: r["fp"] for r in
+           df.select("id", tokens_fingerprint("tokens").alias("fp"))
+           .collect()}
+    assert out[1] == out[3]            # same content → same fp
+    assert out[1] != out[2]            # order-sensitive
+    assert out[4] is None and out[5] == 0
+
+
+def test_validate_tokens(spark):
+    df = tok_df(spark, [(1, [0, 49, 99]), (2, [5, 100]), (3, [-1]),
+                        (4, None), (5, [])])
+    out = {r["id"]: r["ok"] for r in
+           df.select("id", validate_tokens(F.col("tokens"), 100).alias("ok"))
+           .collect()}
+    assert out == {1: True, 2: False, 3: False, 4: None, 5: True}
+
+
+def test_token_stats(spark):
+    df = tok_df(spark, [(1, [5, 1, 9]), (2, []), (3, None)])
+    out = {r["id"]: r["s"] for r in
+           df.select("id", token_stats("tokens").alias("s")).collect()}
+    assert out[1].asDict() == {"n": 3, "mn": 1, "mx": 9, "total": 15}
+    assert out[2]["n"] == 0 and out[2]["mn"] is None
+    assert out[3] is None or out[3]["n"] is None
+
+
+def test_normalize_tokens_arrow(spark):
+    df = tok_df(spark, [(1, [1, -5, 2, 999]), (2, None), (3, [])])
+    out = {r["id"]: (r["tokens"], r["n_dropped"]) for r in
+           normalize_tokens_arrow(df, vocab=100).collect()}
+    assert out[1] == ([1, 2], 2)
+    assert out[2] == (None, None)
+    assert out[3] == ([], 0)
+
+
+def test_token_ngram_hashes(spark):
+    df = tok_df(spark, [(1, [1, 2, 3, 4]), (2, [1, 2]), (3, [9]), (4, None)])
+    out = {r["id"]: r["g"] for r in
+           df.select("id", token_ngram_hashes(F.col("tokens"), 3).alias("g"))
+           .collect()}
+    assert len(out[1]) == 2 and len(out[2]) == 0 and len(out[3]) == 0
+    assert out[4] is None
+    # shingle hash depends only on content: [1,2,3] prefix shared
+    df2 = tok_df(spark, [(9, [1, 2, 3])])
+    h = df2.select(token_ngram_hashes(F.col("tokens"), 3).alias("g")) \
+        .collect()[0]["g"]
+    assert out[1][0] == h[0]
+
+
+# ------------------------------------------------------------------- text
+DOCS = [(1, "the cat and the hat", "src"),
+        (2, "the cat and the hat", "src"),
+        (3, "der hund und das brot", "src"),
+        (4, "zzz qqq", "src"),
+        (5, "  the   cat and  the hat ", "src")]
+DOC_SCHEMA = "doc_id long, text string, source string"
+
+
+def test_lang_id_and_token_count(spark):
+    df = spark.createDataFrame(DOCS, DOC_SCHEMA)
+    out = {r["doc_id"]: (r["lang"], r["n"]) for r in
+           df.select("doc_id", lang_id(F.col("text")).alias("lang"),
+                     token_count(F.col("text")).alias("n")).collect()}
+    assert out[1] == ("en", 5)
+    assert out[3] == ("de", 5)
+    assert out[4][0] == "und"
+
+
+def test_exact_duplicates_normalizes_whitespace(spark):
+    df = spark.createDataFrame(DOCS, DOC_SCHEMA)
+    groups = {r["fingerprint"]: r for r in exact_duplicates(df).collect()}
+    sizes = sorted(r["n_dups"] for r in groups.values())
+    assert sizes == [1, 1, 3]  # docs 1,2,5 collapse
+    big = [r for r in groups.values() if r["n_dups"] == 3][0]
+    assert big["canonical_id"] == 1
+
+
+def test_minhash_pairs_find_near_dups(spark):
+    base = "spark merge window agg filter join scan shuffle broadcast skew"
+    docs = [(1, base, "s"), (2, base + " extra", "s"),
+            (3, "completely different words entirely unrelated topic", "s")]
+    df = spark.createDataFrame(docs, DOC_SCHEMA)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_candidate_pairs(df, num_perm=16,
+                                              num_bands=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_hamming(spark):
+    base = "spark merge window agg filter join scan shuffle broadcast skew"
+    docs = [(1, base, "s"), (2, base + " extra", "s"),
+            (3, "completely different words entirely unrelated topic", "s")]
+    df = spark.createDataFrame(docs, DOC_SCHEMA)
+    sh = simhash(df)
+    j = (sh.alias("a").crossJoin(sh.alias("b"))
+         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+         .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"),
+                 hamming64(F.col("a.simhash"), F.col("b.simhash"))
+                 .alias("d")))
+    d = {(r["x"], r["y"]): r["d"] for r in j.collect()}
+    assert d[(1, 2)] < d[(1, 3)]
+
+
+# ------------------------------------------------------------- similarity
+def emb_df(spark):
+    rows = [(0, [1.0, 0.0, 0.0], 0), (1, [0.9, 0.1, 0.0], 0),
+            (2, [0.0, 1.0, 0.0], 1), (3, [-1.0, 0.0, 0.0], 1),
+            (4, [0.8, 0.2, 0.0], 0)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_brute_force(spark):
+    e = emb_df(spark)
+    top = cosine_topk(e.filter("vec_id != 0"), [1.0, 0.0, 0.0], k=2)
+    ids = [r["vec_id"] for r in top.collect()]
+    assert ids == [1, 4]
+
+
+def test_cosine_topk_lsh_and_ivf_recover_neighbors(spark):
+    e = emb_df(spark)
+    for fn in (cosine_topk_lsh, cosine_topk_ivf):
+        got = fn(e.filter("vec_id != 0"), [1.0, 0.0, 0.0], k=2)
+        ids = {r["vec_id"] for r in got.collect()}
+        assert 1 in ids, fn.__name__
+
+
+def test_embedding_neardup_pairs(spark):
+    e = emb_df(spark)
+    # n_planes=1 with the fixed seed keeps the near-dup pair co-bucketed;
+    # more planes trade recall for smaller blocks (LSH semantics)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in embedding_neardup_pairs(e, threshold=0.97,
+                                              n_planes=1).collect()}
+    assert (1, 4) in pairs
+    assert (0, 3) not in pairs  # opposite vectors
+
+
+# ------------------------------------------------------------- multimodal
+def test_multimodal_stub_and_plumbing(spark):
+    m = synth_media(spark, n=12)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", fake=False)
+    feats = extract_features(m, dim=8, fake=True).collect()
+    assert len(feats) == 12
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # determinism of the fake featurizer
+    feats2 = extract_features(m, dim=8, fake=True).collect()
+    assert {r["media_id"]: r["feature"] for r in feats} == \
+           {r["media_id"]: r["feature"] for r in feats2}
+    frames = frame_sample_plan(m, every_n=8).collect()
+    assert frames and all(r["frame_idx"] % 8 == 0 for r in frames)
+    rm = {r["media_id"]: (r["target_w"], r["target_h"])
+          for r in resize_meta(m, max_side=32).collect()}
+    assert all(w <= 32 and h <= 32 for w, h in rm.values())

@@ -71,6 +71,16 @@ def test_epoch_slicing_invariance(spark, events_path, oracle_state, tmp_path):
     assert_states_equal(a, oracle_state)
 
 
+def test_sequential_merge_path_same_result(spark, events_path, oracle_state,
+                                           tmp_path):
+    """The fused one-write merge (default) and the sequential two-merge
+    path (reference stage order) are semantically identical."""
+    job, _ = run_job(spark, events_path, str(tmp_path / "whq"),
+                     fused_merge=False)
+    engine = state_from_target(job.target.read(spark).collect())
+    assert_states_equal(engine, oracle_state)
+
+
 def test_salted_dedup_same_result(spark, events_path, oracle_state, tmp_path):
     """Explicit two-phase salted dedup (hot-key path) is semantics-
     preserving."""
