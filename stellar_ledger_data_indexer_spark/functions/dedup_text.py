@@ -97,7 +97,8 @@ def minhash_bands(sig: Column, num_bands: int = 8,
 def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", shingle_n: int = 3,
                             num_perm: int = 32, num_bands: int = 8,
-                            seed: int = 7) -> DataFrame:
+                            seed: int = 7,
+                            max_bucket: int = 200) -> DataFrame:
     """(id_a, id_b, n_shared_bands) candidate near-dup pairs via LSH.
 
     Physical shape: explode shingle hashes once, then ONE grouped
@@ -125,6 +126,15 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
                       .alias("bucket"))
              for bn in range(num_bands)]
     banded = sig.select(id_col, F.explode(F.array(*bands)).alias("b"))
+    # cap bucket width (standard LSH hygiene): a bucket holding B docs
+    # yields B²/2 candidate pairs — on a near-dup-heavy corpus one
+    # megabucket dominates the join quadratically while carrying no
+    # dedup precision. Oversized buckets are dropped, not sampled, so
+    # the result stays deterministic.
+    from pyspark.sql import Window
+    wb = Window.partitionBy("b")
+    banded = (banded.withColumn("_bw", F.count("*").over(wb))
+              .filter(F.col("_bw") <= max_bucket).drop("_bw"))
     lhs = banded.select(F.col(id_col).alias("id_a"), "b")
     rhs = banded.select(F.col(id_col).alias("id_b"), "b")
     return (lhs.join(rhs, "b")

@@ -13,9 +13,12 @@ All plane/centroid constants are seeded numpy, shipped as literal arrays
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -30,6 +33,22 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     d = norm(a) * norm(b)
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+@pandas_udf(T.DoubleType())
+def cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized pairwise cosine for bulk pair scoring. The JVM
+    ``cosine`` expression is fine for one query vector against a scan,
+    but higher-order lambdas (zip_with/aggregate) are interpreted —
+    measured ~0.4 ms/pair; for 10^5+ candidate pairs the Arrow-batched
+    numpy path is the hot-loop implementation (fixed-width embeddings →
+    one matmul-shaped pass per batch)."""
+    va = np.stack(a.to_numpy()).astype("float64")
+    vb = np.stack(b.to_numpy()).astype("float64")
+    dots = np.einsum("ij,ij->i", va, vb)
+    den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+    out = np.where(den > 0, dots / np.where(den == 0, 1, den), 0.0)
+    return pd.Series(out)
 
 
 def _lit_vec(v) -> Column:
@@ -137,6 +156,6 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
     return (lhs.join(rhs, "_bkt")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
-                    F.round(cosine(F.col("va"), F.col("vb")), 6)
+                    F.round(cosine_batch(F.col("va"), F.col("vb")), 6)
                     .alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..functions.dedup_text import (exact_duplicates, minhash_candidate_pairs,
                                     simhash, word_shingles)
-from ..functions.similarity import cosine, cosine_topk_lsh
+from ..functions.similarity import cosine, cosine_batch, cosine_topk_lsh
 
 QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -348,11 +348,14 @@ def ngram_jaccard_pairs_q(spark, sf):
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE a.label = b.label
-  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """)
 def embedding_neardup(spark, sf):
-    """Embedding-cosine near-dup pairs (label-blocked exact baseline; the
-    LSH-blocked variant is `embedding_neardup_lsh`, rows-only)."""
+    """Embedding-cosine near-dup pairs, label-blocked exact baseline.
+    Threshold 0.4: the synthetic embeddings are near-orthogonal (max
+    same-label cosine ≈ 0.475 at sf0.01), so a production-style 0.95
+    threshold would test nothing — the operator semantics (blocked pair
+    generation + cosine filter) are what's oracled."""
     e = _t(spark, sf, "embeddings")
     a = e.select(F.col("vec_id").alias("id_a"),
                  F.col("label").alias("la"),
@@ -362,7 +365,10 @@ def embedding_neardup(spark, sf):
                  F.col("embedding").alias("vb"))
     j = (a.join(b, (F.col("la") == F.col("lb"))
                 & (F.col("id_a") < F.col("id_b"))))
-    return (j.filter(cosine(F.col("va"), F.col("vb")) >= 0.99)
+    # bulk pair scoring via the Arrow-batched cosine (the interpreted
+    # zip_with/aggregate form costs ~0.4 ms/pair — 77 s on sf0.1's 200k
+    # candidate pairs; the numpy batch path is ~100× faster)
+    return (j.filter(cosine_batch(F.col("va"), F.col("vb")) >= 0.4)
             .select("id_a", "id_b"))
 
 
