@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--epoch-size", type=int, default=1000)
     ap.add_argument("--num-buckets", type=int, default=32)
     ap.add_argument("--salt-buckets", type=int, default=0)
+    ap.add_argument("--write-mode", choices=("mor", "cow"), default="mor",
+                    help="merge commit mode: merge-on-read deltas (default) "
+                         "or copy-on-write bucket rewrites")
+    ap.add_argument("--compact-every", type=int, default=8,
+                    help="delta depth that triggers compaction (mor mode)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--synthesize", type=int, default=0, metavar="N_EVENTS",
                     help="generate a deterministic stream at --events-path "
@@ -68,7 +73,8 @@ def main(argv: list[str] | None = None) -> int:
         job = IngestJob(spark, JobConfig(
             events_path=args.events_path, warehouse=args.warehouse,
             num_buckets=args.num_buckets, epoch_size=args.epoch_size,
-            salt_buckets=args.salt_buckets))
+            salt_buckets=args.salt_buckets, write_mode=args.write_mode,
+            compact_every=args.compact_every))
         reports = job.run(start=args.start, end=args.end,
                           backfill=args.backfill)
         if not reports:

@@ -62,10 +62,28 @@ class CheckpointLog:
              rows_enriched, datetime.now(timezone.utc))])
 
 
+def _latest_by_key(rows: list[dict], key_cols: tuple[str, ...]) -> list[dict]:
+    """Keep the LAST appended row per key. Metrics/lineage are written
+    before the checkpoint marker, so a crash between merge and marker
+    re-appends them on replay — consumers read through these helpers and
+    see exactly one row per (epoch, dataset)/(epoch, bucket). (Marker-
+    last stays: moving bookkeeping after the marker would instead lose
+    it entirely on a crash, which is strictly worse than a duplicate.)"""
+    out: dict[tuple, dict] = {}
+    for r in rows:  # read_rows preserves manifest (append) order
+        out[tuple(r[c] for c in key_cols)] = r
+    return list(out.values())
+
+
 class LineageLog:
     def __init__(self, path: str):
         self.table = (LakeTable(path) if LakeTable.exists(path)
                       else LakeTable.create(path, LINEAGE))
+
+    def read_latest(self) -> list[dict]:
+        """One row per (epoch_id, bucket) — crash-replay duplicates folded."""
+        self.table.refresh()
+        return _latest_by_key(self.table.read_rows(), ("epoch_id", "bucket"))
 
     def record_from_manifest(self, spark: SparkSession | None, epoch_id: int,
                              target: LakeTable, buckets: list[int],
@@ -89,13 +107,20 @@ class MetricsLog:
         self.table = (LakeTable(path) if LakeTable.exists(path)
                       else LakeTable.create(path, METRICS))
 
+    def read_latest(self) -> list[dict]:
+        """One row per (epoch_id, dataset) — crash-replay duplicates folded."""
+        self.table.refresh()
+        return _latest_by_key(self.table.read_rows(), ("epoch_id", "dataset"))
+
     def record(self, spark: SparkSession | None, epoch_id: int, dataset: str,
                rows_read: int | None, rows_deduped: int | None,
                rows_matched: int | None, rows_inserted: int | None,
-               rows_updated: int | None, wall_secs: float) -> None:
+               rows_updated: int | None, wall_secs: float,
+               bytes_written: int | None = None) -> None:
         self.table.append_rows(
             [(epoch_id, dataset, rows_read, rows_deduped, rows_matched,
-              rows_inserted, rows_updated, float(wall_secs))])
+              rows_inserted, rows_updated, float(wall_secs),
+              bytes_written)])
 
 
 def now() -> float:

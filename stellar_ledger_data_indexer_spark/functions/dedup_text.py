@@ -130,11 +130,16 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
     # yields B²/2 candidate pairs — on a near-dup-heavy corpus one
     # megabucket dominates the join quadratically while carrying no
     # dedup precision. Oversized buckets are dropped, not sampled, so
-    # the result stays deterministic.
-    from pyspark.sql import Window
-    wb = Window.partitionBy("b")
-    banded = (banded.withColumn("_bw", F.count("*").over(wb))
-              .filter(F.col("_bw") <= max_bucket).drop("_bw"))
+    # the result stays deterministic. Bucket sizes come from a grouped
+    # aggregation (map-side combined) joined back — NOT a window over
+    # the bucket key, which would funnel each megabucket onto a single
+    # partition, i.e. exactly the skew this cap defends against.
+    # The oversized-bucket set is tiny by construction (few megabuckets),
+    # so broadcast IT and anti-join — never the keep-set, which is ~every
+    # bucket in the table.
+    oversized = (banded.groupBy("b").agg(F.count("*").alias("_bw"))
+                 .filter(F.col("_bw") > max_bucket).drop("_bw"))
+    banded = banded.join(F.broadcast(oversized), "b", "left_anti")
     lhs = banded.select(F.col(id_col).alias("id_a"), "b")
     rhs = banded.select(F.col(id_col).alias("id_b"), "b")
     return (lhs.join(rhs, "b")

@@ -46,11 +46,19 @@ class JobConfig:
     salt_buckets: int = 0           # >1 → explicit two-phase salted dedup
     strict_ops: bool = True
     fused_merge: bool = True        # one-write epoch (upsert+enrich fused)
+    # "mor" (default): each epoch appends a delta of only the rows it
+    # changed; reads resolve newest-commit-wins per key; compaction folds
+    # deltas into base files every compact_every epochs. "cow": each epoch
+    # rewrites every touched bucket in full — simpler reads, but a uniform
+    # key batch touches ~all buckets, so the per-epoch rewrite approaches
+    # the full table size at scale (the round-1 DESIGN.md accounting bug).
+    write_mode: str = "mor"         # "mor" | "cow"
+    compact_every: int = 8          # epochs between delta compactions (mor)
 
 
 def apply_change_batch(spark: SparkSession, target: LakeTable, events,
                        salt_buckets: int = 0, strict_ops: bool = False,
-                       fused: bool = True):
+                       fused: bool = True, mor: bool = False):
     """The epoch body, reusable by the batch job and the streaming sink:
     base stage (project → LWW dedup → upsert merge), then enrichment
     stage — the fixed dataset order of the reference
@@ -72,20 +80,19 @@ def apply_change_batch(spark: SparkSession, target: LakeTable, events,
     t0 = now()
     base = project_base(events)
     deduped = dedup_lww(base, key_cols=("doc_id",), order_cols=("seq", "pos"),
-                        salt_buckets=salt_buckets,
-                        first_seq_col="seq").drop("pos")
+                        salt_buckets=salt_buckets, first_seq_col="seq")
     if fused and has_enrich_col:
         cand = dedup_enrich_candidates(project_enrich(events))
-        res = merge_upsert_and_enrich(spark, target, deduped, cand)
+        res = merge_upsert_and_enrich(spark, target, deduped, cand, mor=mor)
         wall = now() - t0
         eres = MergeResult(version=res.version, updated=res.bumped,
                            buckets=res.buckets)
         return res, eres, (wall, 0.0)
-    mres = merge_upsert_lww(spark, target, deduped)
+    mres = merge_upsert_lww(spark, target, deduped, mor=mor)
     t1 = now()
     if has_enrich_col:
         enrich = dedup_enrich_candidates(project_enrich(events))
-        eres = merge_enrich(spark, target, enrich)
+        eres = merge_enrich(spark, target, enrich, mor=mor)
     else:
         eres = MergeResult(version=target.version)
     return mres, eres, (t1 - t0, now() - t1)
@@ -128,8 +135,15 @@ class IngestJob:
 
     def resume_watermark(self) -> int:
         """Checkpoint table is authoritative; the sink max is the
-        reference-parity fallback (they agree after clean runs)."""
-        return max(self.checkpoints.max_committed_hi(self.spark), 0)
+        reference-parity fallback (≙ SELECT MAX(ledger_sequence),
+        internal/db/utils.go:61-71): if _checkpoints is lost or behind
+        while the target survives, resume still starts past the data the
+        sink provably holds instead of silently re-basing to 0 (which, on
+        an unbounded run, would jump to the source tip and skip the gap)."""
+        cp = self.checkpoints.max_committed_hi(self.spark)
+        if not self.target.refresh().files:
+            return max(cp, 0)
+        return max(cp, self.max_seq_in_sink(), 0)
 
     # ---------------------------------------------------------------- run
     def plan(self, start: int = 0, end: int = 0,
@@ -162,23 +176,31 @@ class IngestJob:
             return EpochReport(epoch_id, lo, hi, skipped=True,
                                target_snapshot=self.target.version)
         events = read_change_events(self.spark, self.cfg.events_path, lo, hi)
+        mor = self.cfg.write_mode == "mor"
         mres, eres, (base_wall, ttl_wall) = apply_change_batch(
             self.spark, self.target, events,
             salt_buckets=self.cfg.salt_buckets,
             strict_ops=self.cfg.strict_ops,
-            fused=self.cfg.fused_merge)
+            fused=self.cfg.fused_merge, mor=mor)
         self.metrics.record(self.spark, epoch_id, "tokens", None, None,
                             mres.matched, mres.inserted, mres.updated,
-                            base_wall)
+                            base_wall, bytes_written=mres.bytes_written)
         self.lineage.record_from_manifest(self.spark, epoch_id, self.target,
                                           mres.buckets)
         self.metrics.record(self.spark, epoch_id, "ttl", None, None, None,
-                            None, eres.updated, ttl_wall)
+                            None, eres.updated, ttl_wall,
+                            bytes_written=eres.bytes_written)
 
         # marker written strictly last — the exactly-once commit point
         self.checkpoints.commit(self.spark, epoch_id, lo, hi,
                                 self.target.version, mres.rows_upserted,
                                 eres.updated)
+        # maintenance AFTER the commit point: fold stacked deltas back
+        # into base files once resolution depth reaches the configured
+        # bound (≙ the reference's post-backfill REINDEX upkeep,
+        # internal/db/migrations/20260225-reindex-contract-data-live-until.sql)
+        if mor and self.target.delta_depth() >= self.cfg.compact_every:
+            self.target.compact(self.spark)
         return EpochReport(epoch_id, lo, hi, skipped=False,
                            rows_upserted=mres.rows_upserted,
                            rows_enriched=eres.updated,

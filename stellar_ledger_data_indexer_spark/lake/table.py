@@ -81,16 +81,23 @@ class DataFile:
     schema_version: int
     min_seq: int | None = None
     max_seq: int | None = None
+    kind: str = "base"     # "base" | "delta" (merge-on-read row replacements)
+    commit_seq: int = 0    # manifest version that introduced this file
+    bytes: int = 0         # on-disk size (rewrite-amplification accounting)
 
     def to_json(self) -> dict[str, Any]:
         return {"path": self.path, "bucket": self.bucket, "rows": self.rows,
                 "schema_version": self.schema_version,
-                "min_seq": self.min_seq, "max_seq": self.max_seq}
+                "min_seq": self.min_seq, "max_seq": self.max_seq,
+                "kind": self.kind, "commit_seq": self.commit_seq,
+                "bytes": self.bytes}
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "DataFile":
         return DataFile(d["path"], d["bucket"], d["rows"],
-                        d["schema_version"], d.get("min_seq"), d.get("max_seq"))
+                        d["schema_version"], d.get("min_seq"), d.get("max_seq"),
+                        d.get("kind", "base"), d.get("commit_seq", 0),
+                        d.get("bytes", 0))
 
 
 class LakeTable:
@@ -212,7 +219,12 @@ class LakeTable:
              snapshot: int | None = None) -> DataFrame:
         """Read current (or time-travel) state, optionally pruned to a set
         of buckets — manifest-level partition pruning, the scan-side half of
-        copy-on-write MERGE."""
+        MERGE. If the selection contains delta files (merge-on-read), the
+        newest row per key wins: per bucket, live base files come from one
+        rewrite and deltas stack above it with higher commit_seq, so a
+        keyed row_number over commit_seq DESC is exact LWW-by-commit.
+        Resolution cost is per-bucket-local (the key hash-routes to its
+        bucket) and bounded by compaction cadence."""
         man = self.manifest if snapshot is None else self._load_manifest(snapshot)
         cur_sv = man["schema_version"]
         cur_fields = man["schemas"][str(cur_sv)]
@@ -224,15 +236,18 @@ class LakeTable:
         cur_schema = T.StructType([_field_from_json(d) for d in cur_fields])
         if not files:
             return spark.createDataFrame([], cur_schema)
+        has_delta = any(f.kind == "delta" for f in files)
 
-        # group files by the schema version they were written under; map old
-        # physical columns to current names by field id
-        by_sv: dict[int, list[str]] = {}
+        # group files by (schema version, commit_seq); map old physical
+        # columns to current names by field id. The commit_seq split only
+        # matters under merge-on-read and is bounded by deltas-per-bucket.
+        by_grp: dict[tuple[int, int], list[str]] = {}
         for f in files:
-            by_sv.setdefault(f.schema_version, []).append(
+            csq = f.commit_seq if has_delta else 0
+            by_grp.setdefault((f.schema_version, csq), []).append(
                 os.path.join(self.path, f.path))
         parts: list[DataFrame] = []
-        for sv, paths in sorted(by_sv.items()):
+        for (sv, csq), paths in sorted(by_grp.items()):
             old_fields = man["schemas"][str(sv)]
             old_schema = T.StructType([_field_from_json(d) for d in old_fields])
             df = spark.read.schema(old_schema).parquet(*paths)
@@ -245,10 +260,18 @@ class LakeTable:
                         T._parse_datatype_json_string(cf["type"])).alias(cf["name"]))
                 else:
                     cols.append(F.col(old_name).alias(cf["name"]))
+            if has_delta:
+                cols.append(F.lit(csq).alias("_csq"))
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if has_delta:
+            from pyspark.sql import Window
+            w = (Window.partitionBy(self.bucket_col)
+                 .orderBy(F.desc("_csq")))
+            out = (out.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn", "_csq"))
         return out.select(*cur_names)
 
     # --------------------------------------------------------------- write
@@ -300,7 +323,8 @@ class LakeTable:
                                 mxs.append(st.max)
                         if mns:
                             mn, mx = int(min(mns)), int(max(mxs))
-                out.append(DataFile(rel, bucket, md.num_rows, sv, mn, mx))
+                out.append(DataFile(rel, bucket, md.num_rows, sv, mn, mx,
+                                    bytes=os.path.getsize(full)))
         return out
 
     def _commit(self, new_files: list[DataFile], drop: set[str],
@@ -311,12 +335,21 @@ class LakeTable:
         new_man["version"] = man["version"] + 1
         new_man["parent"] = man["version"]
         new_man["operation"] = operation
+        for f in new_files:
+            f.commit_seq = new_man["version"]
+        summary = dict(summary,
+                       bytes_written=sum(f.bytes for f in new_files),
+                       rows_written=sum(f.rows for f in new_files))
         new_man["files"] = kept + [f.to_json() for f in new_files]
         new_man["summary"] = summary
         new_man["committed_at"] = time.time()
         self._write_manifest(self.path, new_man)
         self.manifest = new_man
         return new_man["version"]
+
+    def table_bytes(self) -> int:
+        """Total live data bytes (rewrite-amplification denominator)."""
+        return sum(f.bytes for f in self.files)
 
     def append_rows(self, rows: list[tuple],
                     summary: dict[str, Any] | None = None) -> int:
@@ -383,7 +416,8 @@ class LakeTable:
                           summary: dict[str, Any] | None = None) -> int:
         """Copy-on-write replace of a set of buckets — the commit half of
         MERGE. ``df`` must already be the complete new content of exactly
-        those buckets and carry a ``_bucket`` column."""
+        those buckets and carry a ``_bucket`` column. Drops every prior
+        file of those buckets (base AND stacked deltas)."""
         bset = set(int(b) for b in buckets)
         drop = {f.path for f in self.files if f.bucket in bset}
         files = self._write_data(df.select(*self._write_cols(True)), True)
@@ -391,6 +425,36 @@ class LakeTable:
         if bad:
             raise ValueError(f"rows outside declared buckets: {bad[:3]}")
         return self._commit(files, drop, "merge", summary or {})
+
+    def append_delta(self, df: DataFrame, buckets: Iterable[int],
+                     summary: dict[str, Any] | None = None) -> int:
+        """Merge-on-read commit: append fully-resolved replacement rows for
+        ONLY the keys an epoch touched; read() resolves newest-commit-wins
+        per key. This is the scale path for wide tables: a hash-bucketed
+        epoch touching k keys writes O(k) rows, while copy-on-write
+        rewrites every touched bucket in full — and any non-trivial batch
+        touches ~all buckets (10^7 uniform keys over 4096 buckets hit every
+        bucket w.p. ~1), i.e. the whole table, every epoch. compact()
+        folds deltas back into base files."""
+        if not self.num_buckets:
+            raise ValueError("append_delta requires a bucketed table")
+        bset = set(int(b) for b in buckets)
+        files = self._write_data(df.select(*self._write_cols(True)), True)
+        bad = [f for f in files if f.bucket not in bset]
+        if bad:
+            raise ValueError(f"rows outside declared buckets: {bad[:3]}")
+        for f in files:
+            f.kind = "delta"
+        return self._commit(files, set(), "merge-delta", summary or {})
+
+    def delta_depth(self) -> int:
+        """Max stacked delta commits on any bucket — the compaction
+        trigger signal (read resolution cost grows with this)."""
+        per_bucket: dict[int, set[int]] = {}
+        for f in self.files:
+            if f.kind == "delta":
+                per_bucket.setdefault(f.bucket, set()).add(f.commit_seq)
+        return max((len(v) for v in per_bucket.values()), default=0)
 
     def overwrite_all(self, df: DataFrame,
                       summary: dict[str, Any] | None = None) -> int:

@@ -53,16 +53,22 @@ def project_base(events: DataFrame) -> DataFrame:
     size(tokens), a JVM builtin rather than a UDF).
     """
     e = filter_nonce(filter_entry_type(events, ENTRY_TOKENS))
+    # tombstone semantics are ENFORCED here, not assumed of the producer:
+    # a delete event's payload is nulled even if the producer attached
+    # one, keeping final state a pure function of the stream (the
+    # documented contract in operators/merge.py and tests/oracle.py).
+    is_del = F.col("op") == OP_DELETE
+    tokens = F.when(~is_del, F.col("tokens"))
     return e.select(
         "doc_id",
-        "tokens",
-        F.when(F.col("tokens").isNotNull(),
+        tokens.alias("tokens"),
+        F.when(~is_del & F.col("tokens").isNotNull(),
                F.size("tokens")).cast("int").alias("n_tok"),
         "source",
         "seq",
         "pos",
         "op",
-        (F.col("op") == OP_DELETE).alias("deleted"),
+        is_del.alias("deleted"),
         "closed_at",
     )
 

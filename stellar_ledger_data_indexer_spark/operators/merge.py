@@ -37,18 +37,28 @@ nothing (equal seq loses), which is what makes crash-replay safe
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from ..lake.table import BUCKET_COL, LakeTable
+from ..lake.table import BUCKET_COL, CommitConflict, LakeTable
 from ..schema import OP_DELETE
 
 # columns the base-change batch provides; any further target columns
 # (schema-evolved, e.g. live_until) pass through from the target side
-BATCH_VALUE_COLS = ("tokens", "n_tok", "source", "seq", "first_seq",
+BATCH_VALUE_COLS = ("tokens", "n_tok", "source", "seq", "pos", "first_seq",
                     "deleted", "closed_at")
+
+# ≙ the reference's transactional write retry: 5 attempts, linear backoff,
+# rollback between attempts (internal/utils/postgres.go:9-12,39-77). Here
+# "rollback" is free — a failed snapshot commit leaves only unreferenced
+# data files — and the retry recomputes the merge against the refreshed
+# manifest so the LWW/monotonic conditions re-resolve against the state
+# the competing writer committed.
+MAX_COMMIT_ATTEMPTS = 5
+COMMIT_BACKOFF_SECS = 0.2
 
 
 @dataclass
@@ -59,6 +69,8 @@ class MergeResult:
     updated: int = 0
     bumped: int = 0  # enrichment updates (fused merge)
     buckets: list[int] = field(default_factory=list)
+    bytes_written: int = 0
+    attempts: int = 1
 
     @property
     def rows_upserted(self) -> int:
@@ -72,11 +84,49 @@ def _affected_buckets(table: LakeTable, batch: DataFrame) -> list[int]:
     return sorted(r["b"] for r in rows)
 
 
+def _with_commit_retry(table: LakeTable, attempt_fn) -> "MergeResult":
+    """Run a merge attempt; on CommitConflict (another writer won the
+    snapshot race) reload the manifest and re-run, bounded attempts."""
+    for attempt in range(1, MAX_COMMIT_ATTEMPTS + 1):
+        try:
+            res = attempt_fn()
+            res.attempts = attempt
+            return res
+        except CommitConflict:
+            if attempt == MAX_COMMIT_ATTEMPTS:
+                raise
+            time.sleep(COMMIT_BACKOFF_SECS * attempt)
+            table.refresh()
+
+
+def _b_wins():
+    """LWW condition, lexicographic on (seq, pos): strictly-newer seq wins;
+    an equal seq falls back to intra-seq input order — the reference keeps
+    the LAST occurrence in input order (internal/utils/processor.go:100),
+    and persisting pos makes that tie-break hold even when one seq's
+    events straddle two epochs/micro-batches (pre-pos, the second batch's
+    later-pos event lost the strict b.seq > t.seq comparison). Rows
+    predating the pos column read as null → coalesce(-1) loses ties,
+    matching "already-applied event re-offered later loses"."""
+    t_pos = F.coalesce(F.col("t.pos"), F.lit(-1))
+    b_pos = F.coalesce(F.col("b.pos"), F.lit(-1))
+    return (F.col("b.seq").isNotNull()
+            & (F.col("t.seq").isNull()
+               | (F.col("b.seq") > F.col("t.seq"))
+               | ((F.col("b.seq") == F.col("t.seq")) & (b_pos > t_pos))))
+
+
 def merge_upsert_lww(spark: SparkSession, table: LakeTable,
-                     batch: DataFrame) -> MergeResult:
+                     batch: DataFrame, mor: bool = False) -> MergeResult:
     """Apply a deduped change batch (one row per doc_id) with LWW upsert.
 
     ``batch`` columns: doc_id + BATCH_VALUE_COLS + op.
+
+    ``mor=True`` switches the commit from copy-on-write bucket rewrite to
+    a merge-on-read delta append: the join keeps only batch keys (right
+    join) and writes O(|batch|) resolved rows instead of rewriting every
+    touched bucket in full. At 10^10 keys this is the difference between
+    a ~table-sized rewrite per epoch and one proportional to the epoch.
     """
     batch = batch.persist()
     try:
@@ -84,69 +134,78 @@ def merge_upsert_lww(spark: SparkSession, table: LakeTable,
         if not buckets:
             return MergeResult(version=table.version)
 
-        t = table.read(spark, buckets=buckets).alias("t")
-        b = batch.alias("b")
-        j = t.join(b, F.col("t.doc_id").eqNullSafe(F.col("b.doc_id")),
-                   "full_outer")
+        def attempt() -> MergeResult:
+            t = table.read(spark, buckets=buckets).alias("t")
+            b = batch.alias("b")
+            j = t.join(b, F.col("t.doc_id").eqNullSafe(F.col("b.doc_id")),
+                       "right" if mor else "full_outer")
 
-        b_wins = (F.col("b.seq").isNotNull()
-                  & (F.col("t.seq").isNull()
-                     | (F.col("b.seq") > F.col("t.seq"))))
-        is_del = F.col("b.op") == F.lit(OP_DELETE)
+            b_wins = _b_wins()
+            is_del = F.col("b.op") == F.lit(OP_DELETE)
 
-        def resolve(c: str):
-            if c == "deleted":
-                return (F.when(b_wins, is_del)
-                        .otherwise(F.col("t.deleted")).alias(c))
-            if c == "first_seq":
-                # monotone-min merge: "existed since" never moves later
-                # (least() ignores nulls)
-                return F.least(F.col("t.first_seq"),
-                               F.col("b.first_seq")).alias(c)
-            return (F.when(b_wins, F.col(f"b.{c}"))
-                    .otherwise(F.col(f"t.{c}")).alias(c))
+            def resolve(c: str):
+                if c == "deleted":
+                    return (F.when(b_wins, is_del)
+                            .otherwise(F.col("t.deleted")).alias(c))
+                if c == "first_seq":
+                    # monotone-min merge: "existed since" never moves later
+                    # (least() ignores nulls)
+                    return F.least(F.col("t.first_seq"),
+                                   F.col("b.first_seq")).alias(c)
+                return (F.when(b_wins, F.col(f"b.{c}"))
+                        .otherwise(F.col(f"t.{c}")).alias(c))
 
-        target_cols = [f.name for f in table.schema().fields]
-        out_cols = [F.coalesce(F.col("t.doc_id"), F.col("b.doc_id")).alias("doc_id")]
-        for c in target_cols:
-            if c == "doc_id":
-                continue
-            if c in BATCH_VALUE_COLS:
-                out_cols.append(resolve(c))
+            target_cols = [f.name for f in table.schema().fields]
+            out_cols = [F.coalesce(F.col("t.doc_id"),
+                                   F.col("b.doc_id")).alias("doc_id")]
+            for c in target_cols:
+                if c == "doc_id":
+                    continue
+                if c in BATCH_VALUE_COLS:
+                    out_cols.append(resolve(c))
+                else:
+                    out_cols.append(F.col(f"t.{c}").alias(c))  # evolved pass-through
+
+            obs = Observation()
+            resolved = j.select(
+                *out_cols,
+                (F.col("t.seq").isNotNull() & F.col("b.seq").isNotNull())
+                .alias("_matched"),
+                (F.col("t.seq").isNull() & b_wins).alias("_inserted"),
+                (F.col("t.seq").isNotNull() & b_wins).alias("_updated"),
+            ).observe(
+                obs,
+                F.sum(F.col("_matched").cast("long")).alias("matched"),
+                F.sum(F.col("_inserted").cast("long")).alias("inserted"),
+                F.sum(F.col("_updated").cast("long")).alias("updated"),
+            )
+            final = (resolved
+                     .withColumn(BUCKET_COL, table.bucket_expr(F.col("doc_id")))
+                     .drop("_matched", "_inserted", "_updated"))
+            if mor:
+                version = table.append_delta(
+                    final, buckets, summary={"op": "merge_upsert_lww"})
             else:
-                out_cols.append(F.col(f"t.{c}").alias(c))  # evolved pass-through
+                version = table.overwrite_buckets(
+                    final, buckets, summary={"op": "merge_upsert_lww"})
+            m = obs.get
+            return MergeResult(version=version,
+                               matched=int(m.get("matched") or 0),
+                               inserted=int(m.get("inserted") or 0),
+                               updated=int(m.get("updated") or 0),
+                               buckets=buckets,
+                               bytes_written=table.manifest["summary"]
+                               .get("bytes_written", 0))
 
-        obs = Observation()
-        resolved = j.select(
-            *out_cols,
-            (F.col("t.seq").isNotNull() & F.col("b.seq").isNotNull())
-            .alias("_matched"),
-            (F.col("t.seq").isNull() & b_wins).alias("_inserted"),
-            (F.col("t.seq").isNotNull() & b_wins).alias("_updated"),
-        ).observe(
-            obs,
-            F.sum(F.col("_matched").cast("long")).alias("matched"),
-            F.sum(F.col("_inserted").cast("long")).alias("inserted"),
-            F.sum(F.col("_updated").cast("long")).alias("updated"),
-        )
-        final = (resolved
-                 .withColumn(BUCKET_COL, table.bucket_expr(F.col("doc_id")))
-                 .drop("_matched", "_inserted", "_updated"))
-        version = table.overwrite_buckets(final, buckets,
-                                          summary={"op": "merge_upsert_lww"})
-        m = obs.get
-        return MergeResult(version=version,
-                           matched=int(m.get("matched") or 0),
-                           inserted=int(m.get("inserted") or 0),
-                           updated=int(m.get("updated") or 0),
-                           buckets=buckets)
+        return _with_commit_retry(table, attempt)
     finally:
         batch.unpersist()
 
 
 def merge_upsert_and_enrich(spark: SparkSession, table: LakeTable,
                             batch: DataFrame, candidates: DataFrame,
-                            value_col: str = "live_until") -> MergeResult:
+                            value_col: str = "live_until",
+                            mor: bool = False) -> MergeResult:
     """Fused epoch merge: base LWW upsert AND monotonic enrichment
     resolved in ONE plan with ONE copy-on-write rewrite of the affected
     buckets — semantically identical to merge_upsert_lww followed by
@@ -168,93 +227,108 @@ def merge_upsert_and_enrich(spark: SparkSession, table: LakeTable,
         if not buckets:
             return MergeResult(version=table.version)
 
-        t = table.read(spark, buckets=buckets).alias("t")
+        def attempt() -> MergeResult:
+            t = table.read(spark, buckets=buckets).alias("t")
 
-        # skinny post-merge first_seq relation for ttl qualification
-        fs_t = t.select(F.col("doc_id").alias("d"),
-                        F.col("first_seq").alias("f1"))
-        fs_b = batch.select(F.col("doc_id").alias("d"),
-                            F.col("first_seq").alias("f2"))
-        fs = (fs_t.join(fs_b, "d", "full_outer")
-              .select(F.col("d").alias("doc_id"),
-                      F.least("f1", "f2").alias("_fs")))
-        bump = (fs.join(candidates.alias("c"), "doc_id")
-                .filter(F.col("c.seq") >= F.col("_fs"))
-                .groupBy("doc_id")
-                .agg(F.max(value_col).alias("_bump")))
+            # skinny post-merge first_seq relation for ttl qualification
+            fs_t = t.select(F.col("doc_id").alias("d"),
+                            F.col("first_seq").alias("f1"))
+            fs_b = batch.select(F.col("doc_id").alias("d"),
+                                F.col("first_seq").alias("f2"))
+            fs = (fs_t.join(fs_b, "d", "full_outer")
+                  .select(F.col("d").alias("doc_id"),
+                          F.least("f1", "f2").alias("_fs")))
+            bump = (fs.join(candidates.alias("c"), "doc_id")
+                    .filter(F.col("c.seq") >= F.col("_fs"))
+                    .groupBy("doc_id")
+                    .agg(F.max(value_col).alias("_bump")))
 
-        b = batch.alias("b")
-        j = (t.join(b, F.col("t.doc_id").eqNullSafe(F.col("b.doc_id")),
-                    "full_outer")
-             .join(bump.alias("q"),
-                   F.coalesce(F.col("t.doc_id"), F.col("b.doc_id"))
-                   == F.col("q.doc_id"), "left"))
+            b = batch.alias("b")
+            j = (t.join(b, F.col("t.doc_id").eqNullSafe(F.col("b.doc_id")),
+                        "full_outer")
+                 .join(bump.alias("q"),
+                       F.coalesce(F.col("t.doc_id"), F.col("b.doc_id"))
+                       == F.col("q.doc_id"), "left"))
 
-        b_wins = (F.col("b.seq").isNotNull()
-                  & (F.col("t.seq").isNull()
-                     | (F.col("b.seq") > F.col("t.seq"))))
-        is_del = F.col("b.op") == F.lit(OP_DELETE)
+            b_wins = _b_wins()
+            is_del = F.col("b.op") == F.lit(OP_DELETE)
 
-        def resolve(c: str):
-            if c == "deleted":
-                return (F.when(b_wins, is_del)
-                        .otherwise(F.col("t.deleted")).alias(c))
-            if c == "first_seq":
-                return F.least(F.col("t.first_seq"),
-                               F.col("b.first_seq")).alias(c)
-            if c == value_col:
-                base_v = F.col(f"t.{c}")  # batch never carries it
-                bumps = (F.col("_bump").isNotNull()
-                         & (base_v.isNull() | (base_v < F.col("_bump"))))
-                return F.when(bumps, F.col("_bump")).otherwise(base_v) \
-                    .alias(c)
-            if c in BATCH_VALUE_COLS:
-                return (F.when(b_wins, F.col(f"b.{c}"))
-                        .otherwise(F.col(f"t.{c}")).alias(c))
-            return F.col(f"t.{c}").alias(c)
+            def resolve(c: str):
+                if c == "deleted":
+                    return (F.when(b_wins, is_del)
+                            .otherwise(F.col("t.deleted")).alias(c))
+                if c == "first_seq":
+                    return F.least(F.col("t.first_seq"),
+                                   F.col("b.first_seq")).alias(c)
+                if c == value_col:
+                    base_v = F.col(f"t.{c}")  # batch never carries it
+                    bumps = (F.col("_bump").isNotNull()
+                             & (base_v.isNull() | (base_v < F.col("_bump"))))
+                    return F.when(bumps, F.col("_bump")).otherwise(base_v) \
+                        .alias(c)
+                if c in BATCH_VALUE_COLS:
+                    return (F.when(b_wins, F.col(f"b.{c}"))
+                            .otherwise(F.col(f"t.{c}")).alias(c))
+                return F.col(f"t.{c}").alias(c)
 
-        target_cols = [f.name for f in table.schema().fields]
-        out_cols = [F.coalesce(F.col("t.doc_id"), F.col("b.doc_id"))
-                    .alias("doc_id")]
-        out_cols += [resolve(c) for c in target_cols if c != "doc_id"]
+            target_cols = [f.name for f in table.schema().fields]
+            out_cols = [F.coalesce(F.col("t.doc_id"), F.col("b.doc_id"))
+                        .alias("doc_id")]
+            out_cols += [resolve(c) for c in target_cols if c != "doc_id"]
 
-        base_v = F.col(f"t.{value_col}")
-        bumped_flag = (F.col("_bump").isNotNull()
-                       & (base_v.isNull() | (base_v < F.col("_bump"))))
-        obs = Observation()
-        resolved = j.select(
-            *out_cols,
-            (F.col("t.seq").isNotNull() & F.col("b.seq").isNotNull())
-            .alias("_matched"),
-            (F.col("t.seq").isNull() & b_wins).alias("_inserted"),
-            (F.col("t.seq").isNotNull() & b_wins).alias("_updated"),
-            bumped_flag.alias("_bumped"),
-        ).observe(
-            obs,
-            F.sum(F.col("_matched").cast("long")).alias("matched"),
-            F.sum(F.col("_inserted").cast("long")).alias("inserted"),
-            F.sum(F.col("_updated").cast("long")).alias("updated"),
-            F.sum(F.col("_bumped").cast("long")).alias("bumped"),
-        )
-        final = (resolved
-                 .withColumn(BUCKET_COL, table.bucket_expr(F.col("doc_id")))
-                 .drop("_matched", "_inserted", "_updated", "_bumped"))
-        version = table.overwrite_buckets(
-            final, buckets, summary={"op": "merge_upsert_and_enrich"})
-        m = obs.get
-        return MergeResult(version=version,
-                           matched=int(m.get("matched") or 0),
-                           inserted=int(m.get("inserted") or 0),
-                           updated=int(m.get("updated") or 0),
-                           bumped=int(m.get("bumped") or 0),
-                           buckets=buckets)
+            base_v = F.col(f"t.{value_col}")
+            bumped_flag = (F.col("_bump").isNotNull()
+                           & (base_v.isNull() | (base_v < F.col("_bump"))))
+            obs = Observation()
+            resolved = j.select(
+                *out_cols,
+                (F.col("t.seq").isNotNull() & F.col("b.seq").isNotNull())
+                .alias("_matched"),
+                (F.col("t.seq").isNull() & b_wins).alias("_inserted"),
+                (F.col("t.seq").isNotNull() & b_wins).alias("_updated"),
+                bumped_flag.alias("_bumped"),
+                (F.col("b.seq").isNotNull() | bumped_flag).alias("_touched"),
+            ).observe(
+                obs,
+                F.sum(F.col("_matched").cast("long")).alias("matched"),
+                F.sum(F.col("_inserted").cast("long")).alias("inserted"),
+                F.sum(F.col("_updated").cast("long")).alias("updated"),
+                F.sum(F.col("_bumped").cast("long")).alias("bumped"),
+            )
+            if mor:
+                # delta carries only the keys this epoch changed (batch
+                # keys + enrichment-bumped keys); untouched rows stay in
+                # the base/previous-delta files
+                resolved = resolved.filter(F.col("_touched"))
+            final = (resolved
+                     .withColumn(BUCKET_COL, table.bucket_expr(F.col("doc_id")))
+                     .drop("_matched", "_inserted", "_updated", "_bumped",
+                           "_touched"))
+            if mor:
+                version = table.append_delta(
+                    final, buckets, summary={"op": "merge_upsert_and_enrich"})
+            else:
+                version = table.overwrite_buckets(
+                    final, buckets, summary={"op": "merge_upsert_and_enrich"})
+            m = obs.get
+            return MergeResult(version=version,
+                               matched=int(m.get("matched") or 0),
+                               inserted=int(m.get("inserted") or 0),
+                               updated=int(m.get("updated") or 0),
+                               bumped=int(m.get("bumped") or 0),
+                               buckets=buckets,
+                               bytes_written=table.manifest["summary"]
+                               .get("bytes_written", 0))
+
+        return _with_commit_retry(table, attempt)
     finally:
         batch.unpersist()
         candidates.unpersist()
 
 
 def merge_enrich(spark: SparkSession, table: LakeTable, candidates: DataFrame,
-                 value_col: str = "live_until") -> MergeResult:
+                 value_col: str = "live_until",
+                 mor: bool = False) -> MergeResult:
     """Update-only monotonic enrichment (≙ TTL stage).
 
     ``candidates`` columns: (doc_id, seq, <value_col>) — the ttl events of
@@ -277,39 +351,52 @@ def merge_enrich(spark: SparkSession, table: LakeTable, candidates: DataFrame,
         buckets = _affected_buckets(table, candidates)
         if not buckets:
             return MergeResult(version=table.version)
-        t = table.read(spark, buckets=buckets).alias("t")
 
-        qual = (t.select("doc_id", "first_seq")
-                .join(candidates.alias("c"), "doc_id")
-                .filter(F.col("c.seq") >= F.col("first_seq"))
-                .groupBy("doc_id")
-                .agg(F.max(value_col).alias("_bump")))
+        def attempt() -> MergeResult:
+            t = table.read(spark, buckets=buckets).alias("t")
 
-        j = t.join(qual.alias("q"),
-                   F.col("t.doc_id").eqNullSafe(F.col("q.doc_id")), "left")
-        bumps = (F.col("_bump").isNotNull()
-                 & (F.col(f"t.{value_col}").isNull()
-                    | (F.col(f"t.{value_col}") < F.col("_bump"))))
-        target_cols = [f.name for f in table.schema().fields]
-        out_cols = []
-        for c in target_cols:
-            if c == value_col:
-                out_cols.append(F.when(bumps, F.col("_bump"))
-                                .otherwise(F.col(f"t.{c}")).alias(c))
+            qual = (t.select("doc_id", "first_seq")
+                    .join(candidates.alias("c"), "doc_id")
+                    .filter(F.col("c.seq") >= F.col("first_seq"))
+                    .groupBy("doc_id")
+                    .agg(F.max(value_col).alias("_bump")))
+
+            j = t.join(qual.alias("q"),
+                       F.col("t.doc_id").eqNullSafe(F.col("q.doc_id")), "left")
+            bumps = (F.col("_bump").isNotNull()
+                     & (F.col(f"t.{value_col}").isNull()
+                        | (F.col(f"t.{value_col}") < F.col("_bump"))))
+            target_cols = [f.name for f in table.schema().fields]
+            out_cols = []
+            for c in target_cols:
+                if c == value_col:
+                    out_cols.append(F.when(bumps, F.col("_bump"))
+                                    .otherwise(F.col(f"t.{c}")).alias(c))
+                else:
+                    out_cols.append(F.col(f"t.{c}").alias(c))
+
+            obs = Observation()
+            resolved = (j.select(*out_cols, bumps.alias("_bumped"))
+                        .observe(obs, F.sum(F.col("_bumped").cast("long"))
+                                 .alias("bumped")))
+            if mor:
+                resolved = resolved.filter(F.col("_bumped"))
+            final = (resolved
+                     .withColumn(BUCKET_COL, table.bucket_expr(F.col("doc_id")))
+                     .drop("_bumped"))
+            if mor:
+                version = table.append_delta(final, buckets,
+                                             summary={"op": "merge_enrich"})
             else:
-                out_cols.append(F.col(f"t.{c}").alias(c))
+                version = table.overwrite_buckets(
+                    final, buckets, summary={"op": "merge_enrich"})
+            m = obs.get
+            return MergeResult(version=version,
+                               updated=int(m.get("bumped") or 0),
+                               buckets=buckets,
+                               bytes_written=table.manifest["summary"]
+                               .get("bytes_written", 0))
 
-        obs = Observation()
-        resolved = (j.select(*out_cols, bumps.alias("_bumped"))
-                    .observe(obs, F.sum(F.col("_bumped").cast("long"))
-                             .alias("bumped")))
-        final = (resolved
-                 .withColumn(BUCKET_COL, table.bucket_expr(F.col("doc_id")))
-                 .drop("_bumped"))
-        version = table.overwrite_buckets(final, buckets,
-                                          summary={"op": "merge_enrich"})
-        m = obs.get
-        return MergeResult(version=version, updated=int(m.get("bumped") or 0),
-                           buckets=buckets)
+        return _with_commit_retry(table, attempt)
     finally:
         candidates.unpersist()

@@ -23,9 +23,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..functions.dedup_text import (exact_duplicates, minhash_candidate_pairs,
-                                    simhash, word_shingles)
-from ..functions.similarity import cosine, cosine_batch, cosine_topk_lsh
+from ..functions.dedup_text import (exact_duplicates, hamming64,
+                                    minhash_candidate_pairs, simhash,
+                                    word_shingles)
+from ..functions.similarity import (cosine, cosine_batch, cosine_topk,
+                                    cosine_topk_lsh)
 
 QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -209,7 +211,7 @@ def enrich_monotonic(spark, sf):
 
 @_q("agg_counts", """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS total_c
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_c
 FROM events GROUP BY event_type
 """)
 def agg_counts(spark, sf):
@@ -220,6 +222,186 @@ def agg_counts(spark, sf):
             .agg(F.count("*").alias("n"),
                  F.sum(F.floor(F.col("value") * 100).cast("bigint"))
                  .alias("total_c")))
+
+
+# ------------------------------------------------------- relational suite
+# The downstream read path of the reference is its output table + the index
+# set tuned for point/sort/join reads
+# (internal/db/migrations/20260211-add-additional-lab-backend-indexes-1.sql:8-10
+# — ORDER BY durability DESC, key_hash DESC). The Spark analog of that query
+# surface is the shuffle-join / broadcast-join / top-N / rollup shapes below,
+# oracle-checked over the driver's TPC-H tables.
+
+# revenue integerized identically on both sides: floor((p*(1-d))*100) — the
+# double product is IEEE-identical (same literal parse, same assoc order),
+# then exact integer sums commute with any aggregation order.
+_REV_SQL = ("CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+
+
+def _rev_col():
+    return (F.floor(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("bigint"))
+
+
+@_q("join_agg_shuffle", f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_c
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o_orderpriority
+""")
+def join_agg_shuffle(spark, sf):
+    """Fact-to-fact shuffle join (orders ⋈ lineitem on orderkey) with a
+    grouped rollup — the canonical large-join shape: both sides hash-
+    partition on the join key, aggregation is map-side combined after."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum(_rev_col()).alias("revenue_c")))
+
+
+@_q("broadcast_dim_join", """
+SELECT r_name,
+       COUNT(*) AS n_cust,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+       AS acctbal_c
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r_name
+""")
+def broadcast_dim_join(spark, sf):
+    """Star-schema dim joins: nation/region are broadcast explicitly (25 /
+    5 rows — never worth a shuffle at any scale). tests/test_relational.py
+    asserts BroadcastHashJoin (and no SortMergeJoin) in the physical plan."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n_cust"),
+                 F.sum(F.floor(F.col("c_acctbal") * 100).cast("bigint"))
+                 .alias("acctbal_c")))
+
+
+@_q("topn_orders", """
+SELECT o_orderkey,
+       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS totalprice_c
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+""")
+def topn_orders(spark, sf):
+    """Global top-N with a deterministic tie-break (orderkey asc) —
+    Spark executes as TakeOrderedAndProject (per-partition heap + driver
+    merge), never a full sort."""
+    o = _t(spark, sf, "orders")
+    return (o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .select("o_orderkey",
+                    F.floor(F.col("o_totalprice") * 100).cast("bigint")
+                    .alias("totalprice_c"))
+            .limit(10))
+
+
+@_q("rollup_pricing", f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_c
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def rollup_pricing(spark, sf):
+    """TPC-H Q1-shaped pricing summary over GROUPING SETS (ROLLUP):
+    per (returnflag, linestatus), per returnflag, and grand total — the
+    multi-key rollup shape, with the date predicate pushed to the scan.
+    Rolled-up keys surface as the 'ALL' sentinel (not NULL) so the
+    result rows stay totally orderable for the driver's compare."""
+    li = _t(spark, sf, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+            .rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.floor("l_quantity").cast("bigint")).alias("sum_qty"),
+                 F.sum(_rev_col()).alias("revenue_c"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                    "n", "sum_qty", "revenue_c"))
+
+
+@_q("topk_per_group", """
+SELECT c_custkey, c_nationkey,
+       CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c
+FROM (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer) t
+WHERE rn <= 3
+""")
+def topk_per_group(spark, sf):
+    """Top-k per group (3 richest customers per nation) — the window
+    form; one shuffle on the partition key, rank computed in-partition."""
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"),
+                                                  F.asc("c_custkey"))
+    return (c.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("c_custkey", "c_nationkey",
+                    F.floor(F.col("c_acctbal") * 100).cast("bigint")
+                    .alias("acctbal_c")))
+
+
+@_q("anti_join_unordered_parts", """
+SELECT p_partkey FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+""")
+def anti_join_unordered_parts(spark, sf):
+    """Anti join: parts never ordered in bulk (NOT EXISTS ≡ left_anti).
+    The quantity predicate pushes to the probe-side scan; every part has
+    SOME order in this corpus, so the unpredicated form would pass
+    vacuously on 0 = 0 (non-emptiness asserted in tests)."""
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+            .select("p_partkey"))
+
+
+@_q("q3_shipping_priority", f"""
+SELECT l_orderkey,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_c,
+       o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_c DESC, l_orderkey ASC
+LIMIT 10
+""")
+def q3_shipping_priority(spark, sf):
+    """TPC-H Q3 shape: selective dim filter → two joins → grouped agg →
+    top-N. Filters push to all three scans; customer (post-filter) is
+    small enough that AQE turns the first join into a broadcast."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.sum(_rev_col()).alias("revenue_c"))
+            .orderBy(F.desc("revenue_c"), F.asc("l_orderkey"))
+            .select("l_orderkey", "revenue_c", "o_orderdate")
+            .limit(10))
 
 
 # -------------------------------------------------- training-data pipeline
@@ -322,11 +504,15 @@ SELECT id_a, id_b,
        ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = id_a
            JOIN sizes sb ON sb.doc_id = id_b
-WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.08
 """)
 def ngram_jaccard_pairs_q(spark, sf):
     """Exact word-bigram Jaccard near-dup pairs (lang-blocked, id<200
-    slice so the oracle's pair join stays small)."""
+    slice so the oracle's pair join stays small). Threshold 0.08: the
+    synthetic corpus has no engineered near-dups (max pair Jaccard ≈
+    0.11 at every sf), so a production-style 0.5 threshold would pass
+    vacuously on 0 = 0 rows — tests/test_entry_contract.py asserts
+    non-emptiness for every pair-producing entry."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     grams = d.select(
         "doc_id", "lang",
@@ -341,7 +527,7 @@ def ngram_jaccard_pairs_q(spark, sf):
     jac = inter * F.lit(1.0) / union
     return (j.filter(inter > 0)
             .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
-            .filter(jac >= 0.3))
+            .filter(jac >= 0.08))
 
 
 @_q("embedding_neardup", """
@@ -391,6 +577,176 @@ def cosine_knn(spark, sf):
         "vec_id", cosine(F.col("embedding"), q).alias("_s"))
     return (scored.filter(F.col("_s") >= 0.3)
             .select("vec_id", F.round("_s", 4).alias("score")))
+
+
+# ------------------------------------- approximate ops with self-oracles
+# xxhash64 / random hyperplanes have no DuckDB twin, so the approximate
+# operators can't be value-oracled directly. Instead (VERDICT r1 item 4):
+# - minhash_lsh_verified: the FULL pipeline (LSH candidates → exact-
+#   Jaccard verification) must reproduce the exact near-dup pair set,
+#   which DuckDB CAN compute — a true value-level oracle that fails if
+#   LSH recall drops below 1.0 on qualifying pairs.
+# - simhash_neardup_recall / cosine_lsh_recall: measured-recall rows
+#   against pass/fail constants (the reference golden-tests every
+#   transform, internal/transform/contract_data_test.go:13-163 — this is
+#   the analog for operators whose exactness is statistical).
+# The corpus has no engineered near-dups (max cross-doc Jaccard ≈ 0.11),
+# so each check derives a twin corpus INSIDE the query: doc_id < 300
+# plus a deterministic twin per doc (same text minus its last two words,
+# Jaccard ≥ 0.78 to its source) — both engines construct it identically.
+
+_TWIN_CORPUS_SQL = """
+base AS (SELECT doc_id, text, lang FROM documents WHERE doc_id < 300),
+twins AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(words[1:greatest(len(words) - 2, 1)], ' ') AS text,
+         lang
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words, lang
+        FROM base) t),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
+"""
+
+
+def _twin_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    twin_text = F.concat_ws(
+        " ", F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(1))))
+    twins = d.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                     twin_text.alias("text"), "lang")
+    return d.select("doc_id", "text", "lang").unionByName(twins)
+
+
+@_q("minhash_lsh_verified", f"""
+WITH {_TWIN_CORPUS_SQL},
+norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      ' ') AS words
+  FROM corpus),
+gr AS (
+  SELECT doc_id,
+         unnest(list_transform(list_zip(words, words[2:]),
+                               x -> x[1] || ' ' || x[2])) AS gram
+  FROM norm),
+g AS (SELECT DISTINCT doc_id, gram FROM gr WHERE gram IS NOT NULL),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM g a JOIN g b ON a.gram = b.gram
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+""")
+def minhash_lsh_verified(spark, sf):
+    """MinHash+LSH candidates verified by exact bigram Jaccard ≥ 0.5 —
+    must equal the exact all-pairs result (the oracle): any qualifying
+    pair LSH fails to surface is a hard mismatch. 32 perms × 16 bands →
+    P(miss | J=0.5) ≈ (1 - 0.5²)^16 ≈ 0.01, and the twins sit at J ≥
+    0.78 where P(miss) < 1e-8; measured recall is 300/300 at every sf.
+    At scale this exact shape IS the production dedup pipeline:
+    candidates from banding, verification join only on the candidate set."""
+    corpus = _twin_corpus(spark, sf)
+    cands = minhash_candidate_pairs(corpus, num_perm=32, num_bands=16)
+    grams = corpus.select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.col("text"), 2)).alias("g"))
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    v = cands.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    jac = inter * F.lit(1.0) / union
+    return (v.filter(jac >= 0.5)
+            .select("id_a", "id_b", F.round(jac, 4).alias("jaccard")))
+
+
+@_q("simhash_neardup_recall", f"""
+WITH {_TWIN_CORPUS_SQL},
+norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      ' ') AS words
+  FROM corpus),
+gr AS (
+  SELECT doc_id,
+         unnest(list_transform(list_zip(words, words[2:]),
+                               x -> x[1] || ' ' || x[2])) AS gram
+  FROM norm),
+g AS (SELECT DISTINCT doc_id, gram FROM gr WHERE gram IS NOT NULL),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+tw AS (
+  SELECT a.doc_id AS id, COUNT(*) AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND b.doc_id = a.doc_id + 1000000
+  GROUP BY 1)
+SELECT COUNT(*) AS n_true, TRUE AS recall_ok
+FROM tw JOIN sizes sa ON sa.doc_id = id
+        JOIN sizes sb ON sb.doc_id = id + 1000000
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+""")
+def simhash_neardup_recall(spark, sf):
+    """SimHash quality gate: every twin pair with exact Jaccard ≥ 0.5
+    must land within Hamming distance 20 of its source's 64-bit
+    signature (measured max is 17; unrelated pairs sit near 32).
+    ``n_true`` is value-checked by DuckDB's exact twin-Jaccard count;
+    ``recall_ok`` is the pass/fail self-oracle."""
+    corpus = _twin_corpus(spark, sf)
+    grams = corpus.select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.col("text"), 2)).alias("g"))
+    a = grams.filter(F.col("doc_id") < 1000000).select(
+        F.col("doc_id").alias("id"), F.col("g").alias("ga"))
+    b = grams.filter(F.col("doc_id") >= 1000000).select(
+        (F.col("doc_id") - 1000000).alias("id"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    true_pairs = (a.join(b, "id")
+                  .filter(inter * F.lit(1.0) / union >= 0.5)
+                  .select("id"))
+    sh = simhash(corpus)
+    sa = sh.filter(F.col("doc_id") < 1000000).select(
+        F.col("doc_id").alias("id"), F.col("simhash").alias("ha"))
+    sb = sh.filter(F.col("doc_id") >= 1000000).select(
+        (F.col("doc_id") - 1000000).alias("id"), F.col("simhash").alias("hb"))
+    close = (sa.join(sb, "id")
+             .filter(hamming64(F.col("ha"), F.col("hb")) <= 20)
+             .select("id"))
+    return (true_pairs.join(close.withColumn("_c", F.lit(1)), "id", "left")
+            .agg(F.count("*").alias("n_true"),
+                 (F.count("*") == F.sum("_c")).alias("recall_ok")))
+
+
+@_q("cosine_lsh_recall", """
+SELECT CAST(10 AS BIGINT) AS n_brute, TRUE AS recall_ok
+""")
+def cosine_lsh_recall(spark, sf):
+    """ANN recall gate for the sign-LSH path, on a planted-neighbor set:
+    the raw synthetic embeddings are near-orthogonal noise (top cosine ≈
+    0.45) where NO sublinear index separates neighbors from noise — the
+    production regime for near-dup retrieval is high-cosine neighbors,
+    modeled here by planting 25 vectors blended toward the query
+    (0.85·q + 0.15·vᵢ, cosine ≥ 0.97). Brute-force top-10 (all planted)
+    must be recovered by the multi-probe LSH scan — recall@10 == 10/10,
+    pass/fail via the constant oracle."""
+    e = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    rest = e.filter(F.col("vec_id") != 0)
+    planted = (rest.filter(F.col("vec_id") <= 25)
+               .select((F.col("vec_id") + 2000000).alias("vec_id"),
+                       F.zip_with(q, F.col("embedding"),
+                                  lambda a, b: a * 0.85 + b * 0.15)
+                       .cast("array<float>").alias("embedding")))
+    corpus = rest.select("vec_id", "embedding").unionByName(planted)
+    brute = cosine_topk(corpus, qv, k=10).select("vec_id")
+    lsh = cosine_topk_lsh(corpus, qv, k=10, probe_hamming=2).select("vec_id")
+    hits = brute.join(lsh.withColumn("_h", F.lit(1)), "vec_id", "left")
+    return hits.agg(F.count("*").alias("n_brute"),
+                    (F.sum("_h") == F.count("*")).alias("recall_ok"))
 
 
 # ------------------------------------------------ approximate (rows-only)

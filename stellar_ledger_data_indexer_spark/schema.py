@@ -49,6 +49,11 @@ TARGET = T.StructType([
     T.StructField("n_tok", T.IntegerType(), True),
     T.StructField("source", T.StringType(), True),
     T.StructField("seq", T.LongType(), False),
+    # intra-seq ordinal of the winning event: persisting it makes the LWW
+    # condition lexicographic on (seq, pos), so equal-seq events split
+    # across epochs/micro-batches still resolve to the stream's last
+    # occurrence (≙ internal/utils/processor.go:100 keep-last semantics)
+    T.StructField("pos", T.LongType(), True),
     # earliest base-event seq ever seen for this key — the "row existed
     # since" watermark that lets per-epoch enrichment reproduce the
     # reference's per-ledger ordering (base stage before ttl stage within
@@ -86,4 +91,7 @@ METRICS = T.StructType([
     T.StructField("rows_inserted", T.LongType(), True),
     T.StructField("rows_updated", T.LongType(), True),
     T.StructField("wall_secs", T.DoubleType(), True),
+    # per-epoch write amplification signal: bytes committed by the merge
+    # (delta bytes under merge-on-read; full bucket rewrites under CoW)
+    T.StructField("bytes_written", T.LongType(), True),
 ])

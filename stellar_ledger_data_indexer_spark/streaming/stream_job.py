@@ -37,10 +37,17 @@ from ..schema import CHANGE_EVENTS
 
 def stream_replay(spark: SparkSession, events_path: str, target: LakeTable,
                   checkpoint_dir: str, salt_buckets: int = 0,
-                  max_files_per_trigger: int | None = None):
+                  max_files_per_trigger: int | None = None,
+                  mor: bool = False):
     """Start a streaming replay into ``target``. Returns the
     StreamingQuery; callers drive it with processAllAvailable()/stop()
-    (tests) or awaitTermination() (production tail)."""
+    (tests) or awaitTermination() (production tail).
+
+    A micro-batch boundary MAY split one seq across two foreachBatch
+    invocations (the file source batches by file, and a file boundary can
+    fall mid-seq): the merge's lexicographic (seq, pos) LWW condition
+    keeps last-occurrence-wins correct across that split — see
+    operators/merge._b_wins."""
     reader = (spark.readStream.schema(CHANGE_EVENTS))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -48,7 +55,7 @@ def stream_replay(spark: SparkSession, events_path: str, target: LakeTable,
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         apply_change_batch(batch_df.sparkSession, target, batch_df,
-                           salt_buckets=salt_buckets)
+                           salt_buckets=salt_buckets, mor=mor)
 
     return (events.writeStream
             .foreachBatch(sink)

@@ -51,6 +51,7 @@ def replay_oracle(events: Iterable[dict[str, Any]]) -> dict[str, dict[str, Any]]
             if ev["op"] == "delete":
                 row = {"doc_id": doc, "tokens": None, "n_tok": None,
                        "source": ev["source"], "seq": ev["seq"],
+                       "pos": ev["pos"],
                        "deleted": True, "closed_at": ev["closed_at"],
                        "live_until": cur["live_until"] if cur else None,
                        "first_seq": min(cur["first_seq"], ev["seq"])
@@ -60,6 +61,7 @@ def replay_oracle(events: Iterable[dict[str, Any]]) -> dict[str, dict[str, Any]]
                 row = {"doc_id": doc, "tokens": toks,
                        "n_tok": len(toks) if toks is not None else None,
                        "source": ev["source"], "seq": ev["seq"],
+                       "pos": ev["pos"],
                        "deleted": False, "closed_at": ev["closed_at"],
                        "live_until": cur["live_until"] if cur else None,
                        "first_seq": min(cur["first_seq"], ev["seq"])
@@ -106,8 +108,8 @@ def state_from_target(rows) -> dict[str, dict[str, Any]]:
 
 def assert_states_equal(engine: dict[str, dict], oracle: dict[str, dict],
                         compare_cols=("tokens", "n_tok", "source", "seq",
-                                      "first_seq", "deleted", "closed_at",
-                                      "live_until")) -> None:
+                                      "pos", "first_seq", "deleted",
+                                      "closed_at", "live_until")) -> None:
     assert set(engine) == set(oracle), (
         f"doc_id sets differ: only-engine={sorted(set(engine) - set(oracle))[:5]} "
         f"only-oracle={sorted(set(oracle) - set(engine))[:5]}")

@@ -57,6 +57,42 @@ def test_all_queries_run(spark, catalog):
         assert df.count() >= 0, name
 
 
+# every pair-producing / filtering catalog entry must return rows at the
+# correctness sf — a 0 = 0 oracle comparison verifies nothing (VERDICT r1:
+# ngram_jaccard_pairs passed vacuously at threshold 0.3)
+NON_EMPTY = [
+    "ngram_jaccard_pairs", "embedding_neardup", "minhash_pairs",
+    "minhash_lsh_verified", "cosine_knn", "cosine_knn_lsh",
+    "anti_join_unordered_parts", "q3_shipping_priority",
+    "join_agg_shuffle", "broadcast_dim_join", "topn_orders",
+    "rollup_pricing", "topk_per_group",
+]
+
+
+def test_pair_queries_non_empty(spark, catalog):
+    qs, _ = catalog
+    empty = [n for n in NON_EMPTY if qs[n](spark, SF_DIR).count() == 0]
+    assert not empty, f"vacuous catalog entries (0 rows at sf0.01): {empty}"
+
+
+def test_recall_gates_pass(spark, catalog):
+    """The self-oracled approximate entries must report recall_ok=True."""
+    qs, _ = catalog
+    for name in ["simhash_neardup_recall", "cosine_lsh_recall"]:
+        row = qs[name](spark, SF_DIR).collect()[0]
+        assert row["recall_ok"] is True, name
+
+
+def test_broadcast_join_in_plan(spark, catalog):
+    """broadcast_dim_join must actually broadcast the dims: the physical
+    plan contains BroadcastHashJoin and no SortMergeJoin."""
+    qs, _ = catalog
+    plan = (qs["broadcast_dim_join"](spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_oracle_parity(spark, ddb, catalog):
     qs, oracles = catalog
     failures = []

@@ -149,8 +149,51 @@ def test_reapplying_committed_epoch_is_noop(spark, events_path, oracle_state,
         merge_enrich, merge_upsert_lww)
     events = read_change_events(spark, events_path, lo, hi)
     deduped = dedup_lww(project_base(events), first_seq_col="seq")
-    merge_upsert_lww(spark, job_forced.target, deduped.drop("pos"))
+    merge_upsert_lww(spark, job_forced.target, deduped)
     merge_enrich(spark, job_forced.target,
                  dedup_enrich_candidates(project_enrich(events)))
     state_after = state_from_target(job_forced.target.read(spark).collect())
     assert_states_equal(state_after, state_before)
+
+
+def test_cow_write_mode_same_result(spark, events_path, oracle_state,
+                                    tmp_path):
+    """Copy-on-write commits (write_mode='cow') converge to the same state
+    as the default merge-on-read delta path."""
+    job, _ = run_job(spark, events_path, str(tmp_path / "whcow"),
+                     write_mode="cow")
+    assert job.target.delta_depth() == 0  # cow never stacks deltas
+    engine = state_from_target(job.target.read(spark).collect())
+    assert_states_equal(engine, oracle_state)
+
+
+def test_mor_write_amplification_below_cow(spark, events_path, tmp_path):
+    """The point of merge-on-read: per-epoch committed bytes are a small
+    fraction of what copy-on-write rewrites for the same narrow epoch.
+    Replays the full range, then applies ONE narrow epoch (2 seqs ≈ 1% of
+    the stream) in each mode and compares merge-committed bytes."""
+    from stellar_ledger_data_indexer_spark.job import apply_change_batch
+
+    results = {}
+    for mode in ("mor", "cow"):
+        wh = str(tmp_path / f"whamp_{mode}")
+        cfg = JobConfig(events_path=events_path, warehouse=wh, num_buckets=8,
+                        epoch_size=1000, write_mode=mode,
+                        compact_every=10_000)
+        job = IngestJob(spark, cfg)
+        job.run(start=2, end=END_SEQ - 1, backfill=True)
+        events = read_change_events(spark, events_path, END_SEQ, END_SEQ)
+        mres, _, _ = apply_change_batch(spark, job.target, events,
+                                        mor=(mode == "mor"))
+        summary = job.target.manifest["summary"]
+        results[mode] = (summary["rows_written"], mres.bytes_written)
+    mor_rows, mor_bytes = results["mor"]
+    cow_rows, cow_bytes = results["cow"]
+    assert 0 < mor_rows
+    # the narrow epoch (1 seq ≈ 100 events ≈ 95 of 400 keys) still touches
+    # ~every bucket, so CoW rewrites ~the whole table; the delta carries
+    # only the epoch's keys. (Bytes shrink less at this toy scale — per-
+    # file parquet footers dominate a 400-row table — so rows are the
+    # amplification signal; the driver bench reports both at sf scale.)
+    assert mor_rows * 3 < cow_rows, (mor_rows, cow_rows)
+    assert mor_bytes < cow_bytes, (mor_bytes, cow_bytes)

@@ -115,6 +115,7 @@ def test_mid_replay_schema_evolution(spark, events_path, oracle_state,
         job.apply_epoch(lo, hi)
 
     # evolve: add the enrichment column; exercise rename round-trip too
+    pre_evolution_version = job.target.version
     job.target.alter_add_column("live_until", T.LongType())
     job.target.alter_rename_column("n_tok", "num_tokens")
     job.target.alter_rename_column("num_tokens", "n_tok")
@@ -128,7 +129,10 @@ def test_mid_replay_schema_evolution(spark, events_path, oracle_state,
     golden = replay_oracle(events)
     engine = state_from_target(job.target.read(spark).collect())
     assert_states_equal(engine, golden)
-    # old snapshots still readable with their contemporary schema
-    assert "live_until" not in LakeTable(
-        os.path.join(wh, "documents"), version=2).schema().fieldNames() \
-        or True  # (version numbering shifts with merges; read() is the check)
+    # old snapshots still readable with their contemporary schema: the
+    # snapshot committed just before alter_add_column must not know the
+    # evolved column, and must still read cleanly.
+    pre_evolution = LakeTable(os.path.join(wh, "documents"),
+                              version=pre_evolution_version)
+    assert "live_until" not in pre_evolution.schema().fieldNames()
+    assert pre_evolution.read(spark).count() > 0
