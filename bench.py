@@ -68,15 +68,42 @@ def bench_replay(spark, n_events: int, work_dir: str,
     t0 = time.monotonic()
     reports = job.run(start=2, end=0, backfill=True)
     wall = time.monotonic() - t0
+    merge_bytes = sum((m["bytes_written"] or 0)
+                      for m in job.metrics.read_latest())
+    table_bytes = job.target.refresh().table_bytes()
     return {"replay_sec": round(wall, 3),
             "events": n_events,
             "events_per_sec": round(n_events / wall, 1),
             "epochs": len(reports),
-            "rows_upserted": sum(r.rows_upserted for r in reports)}
+            "rows_upserted": sum(r.rows_upserted for r in reports),
+            # merge-on-read write-amplification signal: bytes committed by
+            # merges across the run vs final live table size (CoW would
+            # commit ~epochs × table_bytes for uniform-key epochs)
+            "merge_bytes_written": merge_bytes,
+            "table_bytes": table_bytes,
+            "write_amplification": round(merge_bytes / max(table_bytes, 1), 2)}
 
 
 def bench_queries(spark) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
     from stellar_ledger_data_indexer_spark.plans.queries import QUERY_FNS
+
+    # warmup: first-touch parquet footers and spin up the Python/Arrow
+    # worker pool once, so per-query timings measure the query — not
+    # one-time process startup (round-1's "exact_dedup 24 s" was exactly
+    # this: the first documents-table pandas-udf query paid the pool)
+    for t in ("events", "documents", "embeddings", "lineitem", "orders",
+              "customer", "part", "nation", "region"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v
+    spark.range(1000).select(_warm(F.col("id"))).count()
+
     out = {}
     for name in QUERY_NAMES:
         fn = QUERY_FNS[name]

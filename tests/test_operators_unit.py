@@ -85,6 +85,16 @@ def test_projection_delete_nulls_payload(spark):
     assert row["deleted"] is True
 
 
+def test_projection_delete_nulls_payload_even_if_producer_sent_one(spark):
+    """Tombstone semantics are enforced, not assumed: a producer that
+    attaches a payload to a delete event still yields a nulled row, so
+    final state stays a pure function of the stream."""
+    df = events_df(spark, [ev(42, 7, op="delete", tokens=[1, 2, 3])])
+    row = project_base(df).collect()[0].asDict()
+    assert row["tokens"] is None and row["n_tok"] is None
+    assert row["deleted"] is True
+
+
 def test_projection_filters_nonce_and_other_entry_types(spark):
     """F1 + F2: wrong entry_type skipped; empty doc_id skipped (a nonce is
     valid but not recorded, internal/transform/contract_data.go:31-34)."""
@@ -110,6 +120,29 @@ def test_validate_ops_passes_known(spark):
 
 
 # ------------------------------------------------------------- enrichment
+def test_equal_seq_straddling_batches_keeps_last_pos(spark, tmp_path):
+    """ADVICE r1 (medium): a micro-batch/file boundary can split ONE seq
+    across two merge applications. The persisted-pos lexicographic LWW
+    must keep the stream's last occurrence even when the later-pos event
+    arrives in the LATER batch (strict b.seq > t.seq would drop it)."""
+    from stellar_ledger_data_indexer_spark.job import apply_change_batch
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+    from stellar_ledger_data_indexer_spark.schema import TARGET
+
+    t = LakeTable.create(str(tmp_path / "t"), TARGET, bucket_col="doc_id",
+                         num_buckets=4)
+    batch1 = events_df(spark, [ev(5, 0, tokens=[1])])
+    batch2 = events_df(spark, [ev(5, 1, tokens=[2])])  # same seq, later pos
+    apply_change_batch(spark, t, batch1)
+    apply_change_batch(spark, t, batch2)
+    row = t.read(spark).collect()[0]
+    assert list(row["tokens"]) == [2] and row["pos"] == 1
+    # and the reverse order: the earlier-pos event re-offered later loses
+    apply_change_batch(spark, t, batch1)
+    row = t.read(spark).collect()[0]
+    assert list(row["tokens"]) == [2] and row["pos"] == 1
+
+
 def test_enrich_candidates_keep_last_per_seq(spark):
     """Per (doc, seq) keep the LAST occurrence — an earlier-pos larger
     value in the same seq is discarded (≙ ttl dedup regression,

@@ -156,6 +156,42 @@ def test_reapplying_committed_epoch_is_noop(spark, events_path, oracle_state,
     assert_states_equal(state_after, state_before)
 
 
+def test_integration_golden_rows(spark, events_path, tmp_path):
+    """≙ the reference's end-to-end integration golden
+    (cmd/root_test.go:38-148): replay the fixed range, then assert EXACT
+    hard-coded row content — the two newest rows under a fixed sort, the
+    total row count, and a specific enriched row — not oracle-dict
+    equality. Literals pinned from the seeded generator (seed=42,
+    n_events=20000, n_docs=400, events_per_seq=100); a change in any of
+    projection, dedup, merge, enrichment, or the generator breaks this."""
+    job, _ = run_job(spark, events_path, str(tmp_path / "whg"))
+    rows = {r["doc_id"]: r for r in job.target.read(spark).collect()}
+    assert len(rows) == 400                                   # ≙ count(*)
+    assert sum(1 for r in rows.values() if r["deleted"]) == 21
+    assert sum(1 for r in rows.values()
+               if r["live_until"] is not None) == 399
+
+    ordered = sorted(rows.values(),
+                     key=lambda r: (-r["seq"], -(r["pos"] or 0)))
+    top1, top2 = ordered[0], ordered[1]
+    assert (top1["doc_id"], top1["seq"], top1["pos"]) == \
+        ("doc00000267", 201, 98)
+    assert (top1["n_tok"], top1["source"], top1["first_seq"],
+            top1["deleted"], top1["live_until"]) == (52, "src05", 9,
+                                                     False, 6809)
+    assert list(top1["tokens"][:6]) == [12838, 27845, 40795, 28672,
+                                        11701, 42353]
+    assert len(top1["tokens"]) == 52
+    assert (top2["doc_id"], top2["seq"], top2["pos"]) == \
+        ("doc00000240", 201, 97)
+    assert list(top2["tokens"][:6]) == [7040, 43297, 39779, 40413,
+                                        35768, 44837]
+
+    enr = rows["doc00000000"]                     # ≙ TTL-enriched assert
+    assert (enr["seq"], enr["first_seq"], enr["live_until"]) == \
+        (201, 2, 8034)
+
+
 def test_cow_write_mode_same_result(spark, events_path, oracle_state,
                                     tmp_path):
     """Copy-on-write commits (write_mode='cow') converge to the same state
