@@ -31,6 +31,7 @@ QUERY_NAMES = [
     "cdc_filter_project", "cdc_image_select", "window_dedup_lww",
     "max_seq", "range_scan", "toid_pack", "sha256_key_hash",
     "enum_normalize", "ts_convert", "enrich_monotonic", "agg_counts",
+    "b64_serialize", "i128_decimal_sum",
     "join_agg_shuffle", "broadcast_dim_join", "topn_orders",
     "rollup_pricing", "topk_per_group", "anti_join_unordered_parts",
     "q3_shipping_priority",
@@ -96,13 +97,12 @@ def bench_queries(spark) -> dict[str, float]:
     for t in ("events", "documents", "embeddings", "lineitem", "orders",
               "customer", "part", "nation", "region"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("long")
-    def _warm(v: pd.Series) -> pd.Series:
-        return v
-    spark.range(1000).select(_warm(F.col("id"))).count()
+    from stellar_ledger_data_indexer_spark.functions.similarity import \
+        cosine_batch
+    (spark.range(64)
+     .select(F.array(F.lit(1.0), F.lit(2.0)).alias("a"),
+             F.array(F.lit(1.0), F.lit(2.0)).alias("b"))
+     .select(cosine_batch(F.col("a"), F.col("b"))).count())
 
     out = {}
     for name in QUERY_NAMES:

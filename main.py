@@ -2,14 +2,16 @@
 
 The analog of the reference's single Cobra verb
 ``stellar-ledger-data-indexer append --start S --end E [--backfill]``
-(reference: cmd/root.go:16-45, flags bound with env-var overlay at
-cmd/root.go:47-71). Env overrides mirror that pattern:
-``SLDI_EVENTS_PATH``, ``SLDI_WAREHOUSE``.
+(reference: cmd/root.go:16-45). Config layering mirrors the reference's
+viper binding (cmd/root.go:47-71 + internal/config.go:91-136): explicit
+CLI flag > ``SLDI_<KEY>`` env var > ``--config`` TOML file > built-in
+default.
 
 Usage:
     python main.py append --events-path P --warehouse W \
-        [--start S] [--end E] [--backfill] [--epoch-size N] \
-        [--num-buckets N] [--salt-buckets N] [--synthesize N_EVENTS]
+        [--config cfg.toml] [--start S] [--end E] [--backfill] \
+        [--epoch-size N] [--num-buckets N] [--salt-buckets N] \
+        [--write-mode mor|cow] [--synthesize N_EVENTS]
 
 ``--synthesize`` first materializes a deterministic change stream at
 --events-path (seed fixed), letting a fresh checkout demo end-to-end.
@@ -22,6 +24,22 @@ import json
 import os
 import sys
 
+# options that participate in the config/env/flag layering: name → (type,
+# built-in default). Booleans accept 1/true/yes in env.
+LAYERED = {
+    "events_path": (str, None),
+    "warehouse": (str, None),
+    "start": (int, 0),
+    "end": (int, 0),
+    "backfill": (bool, False),
+    "epoch_size": (int, 1000),
+    "num_buckets": (int, 32),
+    "salt_buckets": (int, 0),
+    "write_mode": (str, "mor"),
+    "compact_every": (int, 8),
+    "master": (str, None),
+}
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="sldi-spark")
@@ -29,20 +47,25 @@ def build_parser() -> argparse.ArgumentParser:
     ap = sub.add_parser("append", help="replay a change-stream range into "
                                        "the warehouse (the reference's only "
                                        "verb)")
-    ap.add_argument("--events-path",
-                    default=os.environ.get("SLDI_EVENTS_PATH"))
-    ap.add_argument("--warehouse", default=os.environ.get("SLDI_WAREHOUSE"))
-    ap.add_argument("--start", type=int, default=0)
-    ap.add_argument("--end", type=int, default=0,
+    # layered options default to None here; resolve_config applies the
+    # env/TOML/default precedence for flags the user didn't pass
+    ap.add_argument("--config", default=os.environ.get("SLDI_CONFIG"),
+                    help="TOML config file (≙ config-test.toml + "
+                         "processToml, internal/config.go:91-136)")
+    ap.add_argument("--events-path", default=None)
+    ap.add_argument("--warehouse", default=None)
+    ap.add_argument("--start", type=int, default=None)
+    ap.add_argument("--end", type=int, default=None,
                     help="<=1 means unbounded tail (clamped to source tip)")
-    ap.add_argument("--backfill", action="store_true")
-    ap.add_argument("--epoch-size", type=int, default=1000)
-    ap.add_argument("--num-buckets", type=int, default=32)
-    ap.add_argument("--salt-buckets", type=int, default=0)
-    ap.add_argument("--write-mode", choices=("mor", "cow"), default="mor",
+    ap.add_argument("--backfill", action="store_const", const=True,
+                    default=None)
+    ap.add_argument("--epoch-size", type=int, default=None)
+    ap.add_argument("--num-buckets", type=int, default=None)
+    ap.add_argument("--salt-buckets", type=int, default=None)
+    ap.add_argument("--write-mode", choices=("mor", "cow"), default=None,
                     help="merge commit mode: merge-on-read deltas (default) "
                          "or copy-on-write bucket rewrites")
-    ap.add_argument("--compact-every", type=int, default=8,
+    ap.add_argument("--compact-every", type=int, default=None,
                     help="delta depth that triggers compaction (mor mode)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--synthesize", type=int, default=0, metavar="N_EVENTS",
@@ -51,11 +74,43 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def resolve_config(args: argparse.Namespace) -> argparse.Namespace:
+    """Apply the precedence: explicit flag > SLDI_ env > TOML > default.
+    Unknown TOML keys are an error (the reference rejects malformed
+    config at load, internal/config.go:103-133)."""
+    toml_vals: dict = {}
+    if args.config:
+        import tomllib
+        with open(args.config, "rb") as fh:
+            toml_vals = tomllib.load(fh)
+        unknown = set(toml_vals) - set(LAYERED)
+        if unknown:
+            raise SystemExit(f"error: unknown config keys {sorted(unknown)}; "
+                             f"valid: {sorted(LAYERED)}")
+    for key, (typ, default) in LAYERED.items():
+        if getattr(args, key, None) is not None:
+            continue                                   # explicit flag wins
+        env = os.environ.get(f"SLDI_{key.upper()}")
+        if env is not None:
+            val = (env.lower() in ("1", "true", "yes")) if typ is bool \
+                else typ(env)
+        elif key in toml_vals:
+            val = toml_vals[key]
+            if not isinstance(val, typ) and val is not None:
+                raise SystemExit(f"error: config key {key} expects "
+                                 f"{typ.__name__}, got {val!r}")
+        else:
+            val = default
+        setattr(args, key, val)
+    return args
+
+
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    args = resolve_config(build_parser().parse_args(argv))
     if not args.events_path or not args.warehouse:
         print("error: --events-path and --warehouse are required "
-              "(or SLDI_EVENTS_PATH / SLDI_WAREHOUSE)", file=sys.stderr)
+              "(or SLDI_EVENTS_PATH / SLDI_WAREHOUSE, or a --config file)",
+              file=sys.stderr)
         return 2
 
     from stellar_ledger_data_indexer_spark.job import IngestJob, JobConfig

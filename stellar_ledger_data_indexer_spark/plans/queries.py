@@ -224,6 +224,50 @@ def agg_counts(spark, sf):
                  .alias("total_c")))
 
 
+@_q("b64_serialize", """
+SELECT doc_id,
+       to_base64(encode(text)) AS payload_b64,
+       lower(hex(encode(substring(text, 1, 4)))) AS head_hex
+FROM documents
+""")
+def b64_serialize(spark, sf):
+    """P8 base64 payload serialization + P4 hash→hex (builtins; ≙
+    MarshalBase64 / HashToHexString, internal/contract/contract_events.go:
+    137-156, internal/contract/utils.go:46-50)."""
+    d = _t(spark, sf, "documents")
+    t = F.col("text").cast("binary")
+    # Spark's base64 is the MIME codec (CRLF every 76 chars); strip the
+    # breaks for canonical RFC 4648 output
+    b64 = F.regexp_replace(F.base64(t), "[\\r\\n]", "")
+    return d.select(
+        "doc_id",
+        b64.alias("payload_b64"),
+        F.lower(F.hex(F.substring(F.col("text"), 1, 4).cast("binary")))
+        .alias("head_hex"))
+
+
+@_q("i128_decimal_sum", """
+SELECT l_returnflag,
+       CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38, 0))
+                * CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38, 0))
+                * CAST(CAST(FLOOR(l_quantity) AS BIGINT) AS DECIMAL(38, 0)))
+            AS DECIMAL(38, 0)) AS big_total
+FROM lineitem GROUP BY l_returnflag
+""")
+def i128_decimal_sum(spark, sf):
+    """P10 arbitrary-precision derivation: per-row price_c² × qty sums
+    past int64 range at sf ≥ 0.1 (≈3×10^18 per group) — carried as
+    DECIMAL(38,0), the engine analog of the reference's big.Int i128
+    assembly (internal/contract/contract_data.go:368-380)."""
+    li = _t(spark, sf, "lineitem")
+    pc = F.floor(F.col("l_extendedprice") * 100).cast("bigint") \
+        .cast("decimal(38,0)")
+    qty = F.floor("l_quantity").cast("bigint").cast("decimal(38,0)")
+    return (li.groupBy("l_returnflag")
+            .agg(F.sum(pc * pc * qty).cast("decimal(38,0)")
+                 .alias("big_total")))
+
+
 # ------------------------------------------------------- relational suite
 # The downstream read path of the reference is its output table + the index
 # set tuned for point/sort/join reads

@@ -93,6 +93,27 @@ def test_broadcast_join_in_plan(spark, catalog):
     assert "SortMergeJoin" not in plan
 
 
+def test_filters_pushed_to_scan(spark, catalog):
+    """Predicates must reach the parquet reader (PushedFilters), and
+    top-N must plan as TakeOrderedAndProject, not a global sort."""
+    qs, _ = catalog
+
+    def plan_of(name):
+        return (qs[name](spark, SF_DIR)
+                ._jdf.queryExecution().executedPlan().toString())
+
+    p = plan_of("range_scan")
+    assert "PushedFilters" in p
+    assert "GreaterThanOrEqual(event_id,1000" in p
+    p = plan_of("q3_shipping_priority")
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "LessThan(o_orderdate" in p
+    assert "GreaterThan(l_shipdate" in p
+    p = plan_of("topn_orders")
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p  # no global sort stage
+
+
 def test_oracle_parity(spark, ddb, catalog):
     qs, oracles = catalog
     failures = []

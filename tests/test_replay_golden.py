@@ -203,6 +203,21 @@ def test_cow_write_mode_same_result(spark, events_path, oracle_state,
     assert_states_equal(engine, oracle_state)
 
 
+def test_mor_compaction_trigger_preserves_state(spark, events_path,
+                                                oracle_state, tmp_path):
+    """delta_depth-triggered compaction fires during the run (operation
+    'compact' in the snapshot log), resets the depth, and the final state
+    still matches the oracle."""
+    job, _ = run_job(spark, events_path, str(tmp_path / "whcmp"),
+                     compact_every=2)
+    ops = [job.target._load_manifest(v)["operation"]
+           for v in job.target.snapshots()]
+    assert "compact" in ops
+    assert job.target.delta_depth() < 2 + 1
+    engine = state_from_target(job.target.read(spark).collect())
+    assert_states_equal(engine, oracle_state)
+
+
 def test_mor_write_amplification_below_cow(spark, events_path, tmp_path):
     """The point of merge-on-read: per-epoch committed bytes are a small
     fraction of what copy-on-write rewrites for the same narrow epoch.
