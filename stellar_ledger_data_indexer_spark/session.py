@@ -50,11 +50,19 @@ def get_spark(app: str = "sldi-spark", master: str | None = None,
               shuffle_partitions: int | None = None,
               extra: dict[str, str] | None = None) -> SparkSession:
     n = cores()
-    master = master or f"local[{n}]"
-    b = SparkSession.builder.appName(app).master(master)
+    # Under spark-submit the driver JVM already exists (the Py4J gateway
+    # is up) — master and driver memory were fixed by the submit command
+    # (--master / --driver-memory); don't override them unless the caller
+    # passed an explicit master. Standalone `python main.py` keeps the
+    # local[n] default.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    b = SparkSession.builder.appName(app)
+    if master or not under_submit:
+        b = b.master(master or f"local[{n}]")
     confs = dict(DEFAULT_CONFS)
-    confs["spark.driver.memory"] = os.environ.get("SLDI_DRIVER_MEM",
-                                                  _default_driver_memory())
+    if not under_submit:
+        confs["spark.driver.memory"] = os.environ.get(
+            "SLDI_DRIVER_MEM", _default_driver_memory())
     # shuffle/spill scratch: point at tmpfs for CPU-bound benchmarking
     # (this box's /tmp disk tops out ~500 MB/s — it saturates long before
     # 32 cores do)
