@@ -50,26 +50,32 @@ def run_bench(cpus: int, events: int) -> dict:
 
 def run_cpu_probe(cpus: int, rows: int) -> dict:
     """Compute-dense Spark probe: same task/scheduler/codegen machinery as
-    the replay, but with high compute-per-byte (chained sha2 over a tiny
-    projection) so DRAM bandwidth — the one resource every local[N] level
-    shares on this single-socket VM — is NOT the bottleneck. If THIS
-    scales near the pure-CPU ceiling while the replay doesn't, the replay's
-    efficiency gap is the box's shared memory/write path, not a serial
-    stage in the engine."""
+    the replay, but with high compute-per-byte (a 64-deep xxhash64 chain
+    over longs — zero allocation churn, so the JVM adds no GC noise) so
+    DRAM bandwidth — the one resource every local[N] level shares on this
+    single-socket VM — is NOT the bottleneck. If THIS scales near the
+    pure-CPU ceiling while the replay doesn't, the replay's efficiency gap
+    is the box's shared memory/write path, not a serial stage in the
+    engine. Best-of-N timed runs after one warm-up (hypervisor steal makes
+    single runs unreliable; 7 trials per level)."""
     code = f"""
 import json, time
 from stellar_ledger_data_indexer_spark.session import get_spark
 import pyspark.sql.functions as F
 spark = get_spark(master="local[{cpus}]", shuffle_partitions={cpus})
-df = spark.range({rows}).select(F.col("id").cast("string").alias("s"))
-expr = F.col("s")
-for _ in range(48):
-    expr = F.sha2(expr, 256)
-df.select(expr.alias("h")).filter(F.col("h").startswith("0000")).count()
-t0 = time.time()
-n = df.select(expr.alias("h")).filter(F.col("h").startswith("0000")).count()
-wall = time.time() - t0
-print(json.dumps({{"rows_per_sec": {rows} / wall, "wall": wall, "n": n}}))
+df = spark.range({rows})
+expr = F.col("id")
+for _ in range(64):
+    expr = F.xxhash64(expr)
+q = df.select(expr.alias("h")).filter(F.col("h") % 1048576 == 0)
+q.count()  # warm-up: codegen + JIT
+walls = []
+for _ in range(7):
+    t0 = time.time()
+    q.count()
+    walls.append(time.time() - t0)
+print(json.dumps({{"rows_per_sec": {rows} / min(walls),
+                   "wall": min(walls), "walls": walls}}))
 spark.stop()
 """
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
@@ -98,6 +104,20 @@ def main() -> int:
             f"local[{args.n * 4}]_rows_per_sec": round(hi["rows_per_sec"]),
             "speedup": round(hi["rows_per_sec"] / lo["rows_per_sec"], 3),
             "scaling_efficiency_N_to_4N": round(eff, 3)}))
+        md = os.path.join(REPO, "BENCH", "BASELINE.md")
+        with open(md, "a") as fh:
+            fh.write(
+                "\n## Compute-bound Spark probe (64-deep xxhash64 chain, "
+                "best-of-7)\n\n"
+                f"| setting | value |\n|---|---|\n"
+                f"| rows | {args.events:,} |\n"
+                f"| local[{args.n}] | {lo['rows_per_sec']:,.0f} rows/sec "
+                f"({lo['wall']:.2f} s) |\n"
+                f"| local[{args.n * 4}] | {hi['rows_per_sec']:,.0f} rows/sec "
+                f"({hi['wall']:.2f} s) |\n"
+                f"| speedup {args.n}→{args.n * 4} cores | "
+                f"{hi['rows_per_sec'] / lo['rows_per_sec']:.2f}× |\n"
+                f"| **scaling efficiency** | **{eff:.3f}** |\n")
         return 0
 
     lo = run_bench(args.n, args.events)
