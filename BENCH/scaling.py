@@ -92,6 +92,9 @@ def main() -> int:
                     help="replay = the full pipeline; cpu = compute-dense "
                          "dataflow isolating task-execution scaling from "
                          "the box's shared DRAM/write path")
+    ap.add_argument("--repeat", type=int, default=3,
+                    help="replay legs per level; best-of-N (hypervisor "
+                         "steal spikes slow single runs up to 3×)")
     args = ap.parse_args()
 
     if args.probe == "cpu":
@@ -120,8 +123,12 @@ def main() -> int:
                 f"| **scaling efficiency** | **{eff:.3f}** |\n")
         return 0
 
-    lo = run_bench(args.n, args.events)
-    hi = run_bench(args.n * 4, args.events)
+    def best_of(cpus: int) -> dict:
+        runs = [run_bench(cpus, args.events) for _ in range(args.repeat)]
+        return max(runs, key=lambda r: r["replay"]["events_per_sec"])
+
+    lo = best_of(args.n)
+    hi = best_of(args.n * 4)
     t_lo = lo["replay"]["events_per_sec"]
     t_hi = hi["replay"]["events_per_sec"]
     eff = (t_hi / t_lo) / 4.0

@@ -27,7 +27,7 @@ from ..functions.dedup_text import (exact_duplicates, hamming64,
                                     minhash_candidate_pairs, simhash,
                                     word_shingles)
 from ..functions.similarity import (cosine, cosine_batch, cosine_topk,
-                                    cosine_topk_lsh)
+                                    cosine_topk_ivf, cosine_topk_lsh)
 
 QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -789,6 +789,35 @@ def cosine_lsh_recall(spark, sf):
     brute = cosine_topk(corpus, qv, k=10).select("vec_id")
     lsh = cosine_topk_lsh(corpus, qv, k=10, probe_hamming=2).select("vec_id")
     hits = brute.join(lsh.withColumn("_h", F.lit(1)), "vec_id", "left")
+    return hits.agg(F.count("*").alias("n_brute"),
+                    (F.sum("_h") == F.count("*")).alias("recall_ok"))
+
+
+@_q("cosine_ivf_recall", """
+SELECT CAST(10 AS BIGINT) AS n_brute, TRUE AS recall_ok
+""")
+def cosine_ivf_recall(spark, sf):
+    """ANN recall gate for the IVF coarse-quantizer path, on the same
+    planted-neighbor set as cosine_lsh_recall: brute-force top-10 (all
+    planted, cosine ≥ 0.97 to the query) must be recovered by probing
+    the n_probe cells nearest the query — recall@10 == 10/10, pass/fail
+    via the constant oracle. At scale the cell is a partition column:
+    the probe prunes the scan to n_probe/n_centroids of the corpus."""
+    e = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    rest = e.filter(F.col("vec_id") != 0)
+    planted = (rest.filter(F.col("vec_id") <= 25)
+               .select((F.col("vec_id") + 2000000).alias("vec_id"),
+                       F.zip_with(q, F.col("embedding"),
+                                  lambda a, b: a * 0.85 + b * 0.15)
+                       .cast("array<float>").alias("embedding")))
+    corpus = rest.select("vec_id", "embedding").unionByName(planted)
+    brute = cosine_topk(corpus, qv, k=10).select("vec_id")
+    ivf = cosine_topk_ivf(corpus, qv, k=10, n_centroids=8,
+                          n_probe=3).select("vec_id")
+    hits = brute.join(ivf.withColumn("_h", F.lit(1)), "vec_id", "left")
     return hits.agg(F.count("*").alias("n_brute"),
                     (F.sum("_h") == F.count("*")).alias("recall_ok"))
 
