@@ -100,6 +100,34 @@ class DataFile:
                         d.get("bytes", 0))
 
 
+def _newest_csq_fold(key_name: str):
+    """mapInArrow fold for merge-on-read resolution: given ALL rows of one
+    bucket in a single partition (base + stacked deltas, each row tagged
+    with the ``_csq`` manifest version that committed it), keep the row
+    with the highest _csq per key. A (key, _csq) pair is unique — base
+    rewrites and delta appends both write at most one row per key per
+    commit — so the fold is deterministic. Memory bound: one bucket
+    (the table's rewrite-granularity unit, 50-250 MB by design) held as
+    one Arrow table plus the take() copy."""
+    def fold(it):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        batches = list(it)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches)
+        csq = tbl.column("_csq").to_numpy()
+        codes, _ = pd.factorize(tbl.column(key_name).to_pandas())
+        order = np.argsort(csq, kind="stable")[::-1]     # newest commit first
+        _, first = np.unique(codes[order], return_index=True)
+        take = np.sort(order[first])
+        out = tbl.remove_column(
+            tbl.schema.get_field_index("_csq")).take(pa.array(take))
+        yield from out.to_batches()
+    return fold
+
+
 class LakeTable:
     """A snapshot-versioned, bucket-partitioned parquet table."""
 
@@ -216,15 +244,35 @@ class LakeTable:
 
     # ---------------------------------------------------------------- read
     def read(self, spark: SparkSession, buckets: Iterable[int] | None = None,
-             snapshot: int | None = None) -> DataFrame:
+             snapshot: int | None = None,
+             resolve: str | None = None) -> DataFrame:
         """Read current (or time-travel) state, optionally pruned to a set
         of buckets — manifest-level partition pruning, the scan-side half of
         MERGE. If the selection contains delta files (merge-on-read), the
         newest row per key wins: per bucket, live base files come from one
-        rewrite and deltas stack above it with higher commit_seq, so a
-        keyed row_number over commit_seq DESC is exact LWW-by-commit.
-        Resolution cost is per-bucket-local (the key hash-routes to its
-        bucket) and bounded by compaction cadence."""
+        rewrite and deltas stack above it with higher commit_seq, so
+        LWW-by-commit is exact.
+
+        ``resolve`` picks the MoR resolution strategy (default from env
+        ``SLDI_MOR_RESOLVE``, else "window"):
+
+        - ``"window"`` (default): keyed row_number over commit_seq DESC —
+          one hash exchange over the selection. In a single JVM that
+          exchange is a memory copy and the whole resolution stays in
+          whole-stage codegen; measured 3-4× faster than bucket_local at
+          local bench scale (tiny buckets, free shuffle).
+        - ``"bucket_local"``: a key's rows can only live in its bucket's
+          files, so newest-commit-wins is folded INSIDE one task per
+          bucket (single-partition Arrow fold) — NO exchange at all.
+          The regime this targets is the 100 TB cluster: resolution of a
+          220 GB table becomes 4096 independent 50-250 MB folds with
+          zero network shuffle, instead of an all-to-all exchange of the
+          full table per read. Buckets whose files all come from one
+          commit skip the fold entirely (post-compaction fast path).
+          Costs that dominate LOCALLY (per-branch plan/setup, one Python
+          worker round-trip per bucket, single-task per-bucket scans)
+          amortize at real bucket sizes. Parity-pinned against "window"
+          in tests/test_lake_table.py."""
         man = self.manifest if snapshot is None else self._load_manifest(snapshot)
         cur_sv = man["schema_version"]
         cur_fields = man["schemas"][str(cur_sv)]
@@ -238,40 +286,70 @@ class LakeTable:
             return spark.createDataFrame([], cur_schema)
         has_delta = any(f.kind == "delta" for f in files)
 
-        # group files by (schema version, commit_seq); map old physical
-        # columns to current names by field id. The commit_seq split only
-        # matters under merge-on-read and is bounded by deltas-per-bucket.
-        by_grp: dict[tuple[int, int], list[str]] = {}
-        for f in files:
-            csq = f.commit_seq if has_delta else 0
-            by_grp.setdefault((f.schema_version, csq), []).append(
-                os.path.join(self.path, f.path))
-        parts: list[DataFrame] = []
-        for (sv, csq), paths in sorted(by_grp.items()):
-            old_fields = man["schemas"][str(sv)]
-            old_schema = T.StructType([_field_from_json(d) for d in old_fields])
-            df = spark.read.schema(old_schema).parquet(*paths)
-            by_id = {f["id"]: f["name"] for f in old_fields}
-            cols = []
-            for cf in cur_fields:
-                old_name = by_id.get(cf["id"])
-                if old_name is None:
-                    cols.append(F.lit(None).cast(
-                        T._parse_datatype_json_string(cf["type"])).alias(cf["name"]))
+        def mapped(subset: list[DataFile], with_csq: bool) -> DataFrame:
+            """Union the subset grouped by (schema version, commit_seq),
+            mapping old physical columns to current names by field id."""
+            by_grp: dict[tuple[int, int], list[str]] = {}
+            for f in subset:
+                csq = f.commit_seq if with_csq else 0
+                by_grp.setdefault((f.schema_version, csq), []).append(
+                    os.path.join(self.path, f.path))
+            parts: list[DataFrame] = []
+            for (sv, csq), paths in sorted(by_grp.items()):
+                old_fields = man["schemas"][str(sv)]
+                old_schema = T.StructType(
+                    [_field_from_json(d) for d in old_fields])
+                df = spark.read.schema(old_schema).parquet(*paths)
+                by_id = {f["id"]: f["name"] for f in old_fields}
+                cols = []
+                for cf in cur_fields:
+                    old_name = by_id.get(cf["id"])
+                    if old_name is None:
+                        cols.append(F.lit(None).cast(
+                            T._parse_datatype_json_string(cf["type"]))
+                            .alias(cf["name"]))
+                    else:
+                        cols.append(F.col(old_name).alias(cf["name"]))
+                if with_csq:
+                    cols.append(F.lit(csq).alias("_csq"))
+                parts.append(df.select(*cols))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        if not has_delta:
+            return mapped(files, False).select(*cur_names)
+
+        mode = resolve or os.environ.get("SLDI_MOR_RESOLVE", "window")
+        if mode == "bucket_local" and self.bucket_col \
+                and all(f.bucket is not None for f in files):
+            key_name = self.bucket_col
+            fold = _newest_csq_fold(key_name)
+            by_bucket: dict[int, list[DataFile]] = {}
+            for f in files:
+                by_bucket.setdefault(f.bucket, []).append(f)
+            branches: list[DataFrame] = []
+            for b in sorted(by_bucket):
+                fs = by_bucket[b]
+                if len({f.commit_seq for f in fs}) == 1:
+                    # single commit → ≤1 row per key already; no fold
+                    branches.append(mapped(fs, False).select(*cur_names))
                 else:
-                    cols.append(F.col(old_name).alias(cf["name"]))
-            if has_delta:
-                cols.append(F.lit(csq).alias("_csq"))
-            parts.append(df.select(*cols))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        if has_delta:
-            from pyspark.sql import Window
-            w = (Window.partitionBy(self.bucket_col)
-                 .orderBy(F.desc("_csq")))
-            out = (out.withColumn("_rn", F.row_number().over(w))
-                   .filter(F.col("_rn") == 1).drop("_rn", "_csq"))
+                    branches.append(
+                        mapped(fs, True).coalesce(1)
+                        .mapInArrow(fold, cur_schema))
+            out = branches[0]
+            for p in branches[1:]:
+                out = out.unionByName(p)
+            return out.select(*cur_names)
+
+        from pyspark.sql import Window
+        w = (Window.partitionBy(self.bucket_col)
+             .orderBy(F.desc("_csq")))
+        out = (mapped(files, True)
+               .withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1).drop("_rn", "_csq"))
         return out.select(*cur_names)
 
     # --------------------------------------------------------------- write

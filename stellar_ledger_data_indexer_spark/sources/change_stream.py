@@ -169,10 +169,21 @@ def write_change_events(spark: SparkSession, path: str, spec: StreamSpec,
     """Materialize the stream range-partitioned + sorted on (seq, pos) so
     epoch reads prune files/row-groups via parquet min-max stats — the
     analog of the reference lake's ledgers-per-file layout
-    (config-test.toml:7-9)."""
+    (config-test.toml:7-9).
+
+    Range boundaries are on ``seq`` ALONE (not (seq, pos)) so a file
+    boundary never splits one seq's events across files — whole ledgers
+    per file, like the reference. This matters for the streaming tail:
+    a micro-batch (N whole files) must carry complete seqs, because the
+    per-(doc_id, seq) keep-last-pos dedup of ttl candidates (ttl.go:34-36)
+    is only correct when it sees all of a seq's events together — the
+    update is monotonic-max, so an earlier-pos value applied in one
+    micro-batch cannot be retracted when the seq's true last-pos event
+    arrives in the next (observed as a golden-state divergence before
+    this alignment)."""
     df = synthesize_change_events(spark, spec, partitions)
     parts = partitions or spark.sparkContext.defaultParallelism
-    (df.repartitionByRange(parts, "seq", "pos")
+    (df.repartitionByRange(parts, "seq")
        .sortWithinPartitions("seq", "pos")
        .write.mode("overwrite").parquet(path))
 

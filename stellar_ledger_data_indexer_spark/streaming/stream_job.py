@@ -43,11 +43,17 @@ def stream_replay(spark: SparkSession, events_path: str, target: LakeTable,
     StreamingQuery; callers drive it with processAllAvailable()/stop()
     (tests) or awaitTermination() (production tail).
 
-    A micro-batch boundary MAY split one seq across two foreachBatch
-    invocations (the file source batches by file, and a file boundary can
-    fall mid-seq): the merge's lexicographic (seq, pos) LWW condition
-    keeps last-occurrence-wins correct across that split — see
-    operators/merge._b_wins."""
+    Ordering contract: the BASE stage tolerates a seq split across two
+    foreachBatch invocations (the merge's lexicographic (seq, pos) LWW
+    condition keeps last-occurrence-wins correct — operators/merge
+    ._b_wins), but the TTL enrichment stage does not — its per-(doc_id,
+    seq) keep-last-pos dedup (ttl.go:34-36) must see all of a seq's
+    events together, because the update is monotonic-max and cannot
+    retract an earlier-pos value once applied. Source files must
+    therefore be seq-aligned (whole ledgers per file — the reference's
+    lake layout, and what write_change_events guarantees); the file
+    source then batches whole files, so every micro-batch carries
+    complete seqs."""
     reader = (spark.readStream.schema(CHANGE_EVENTS))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

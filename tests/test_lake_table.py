@@ -151,6 +151,42 @@ def test_append_delta_read_resolution_and_compact(spark, tmp_path):
     assert old == {k: v for k, (_, v) in got.items()}
 
 
+def test_mor_resolve_modes_parity(spark, tmp_path):
+    """The two MoR resolution strategies — global keyed window (default
+    locally) and bucket-local Arrow fold (the no-shuffle cluster path) —
+    must produce identical state, including under schema evolution
+    (delta written before an added column → fold must null-fill by
+    field id) and bucket pruning."""
+    t = mk(spark, tmp_path / "t10",
+           [(f"doc{i}", 1, i) for i in range(30)], num_buckets=4)
+
+    def delta(rows, schema):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            BUCKET_COL, t.bucket_expr())
+        bl = [r[BUCKET_COL] for r in df.select(BUCKET_COL).collect()]
+        t.append_delta(df, bl)
+
+    delta([("doc3", 2, 33), ("doc7", 2, 77), ("extra", 1, 1)], SCHEMA)
+    t.alter_add_column("w", T.LongType())
+    evolved = T.StructType(SCHEMA.fields + [T.StructField("w", T.LongType(),
+                                                          True)])
+    delta([("doc3", 3, 34, 900), ("doc11", 2, 111, 901)], evolved)
+    assert t.delta_depth() >= 2
+
+    def state(**kw):
+        return {r["doc_id"]: (r["seq"], r["v"], r["w"])
+                for r in t.read(spark, **kw).collect()}
+
+    win, loc = state(resolve="window"), state(resolve="bucket_local")
+    assert win == loc and len(win) == 31   # 30 base docs + "extra"
+    assert win["doc3"] == (3, 34, 900)
+    assert win["doc7"] == (2, 77, None)
+    bval = spark.range(1).select(
+        t.bucket_expr(F.lit("doc3")).alias("b")).collect()[0]["b"]
+    assert state(resolve="window", buckets=[bval]) \
+        == state(resolve="bucket_local", buckets=[bval])
+
+
 def test_merge_commit_retry_on_conflict(spark, tmp_path):
     """S7 parity: a merge whose snapshot commit loses the race reloads the
     manifest and re-applies (reference: 5 attempts, linear backoff,
