@@ -606,6 +606,21 @@ class LakeTable:
                     out.append(rel)
         return out
 
+    def remove_orphans(self, older_than_secs: float = 3600.0) -> list[str]:
+        """Delete crash debris: data files no snapshot references (a crash
+        between data write and manifest link leaves them). The age guard
+        keeps an in-flight commit's freshly written files safe — a
+        concurrent writer stages data BEFORE linking its manifest, so only
+        files older than any plausible commit duration are swept."""
+        now_ = time.time()
+        removed = []
+        for rel in self.orphan_files():
+            full = os.path.join(self.path, rel)
+            if now_ - os.path.getmtime(full) >= older_than_secs:
+                os.unlink(full)
+                removed.append(rel)
+        return removed
+
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
         """Drop old manifests and delete data files only they reference —
         the analog of the reference's post-backfill REINDEX maintenance

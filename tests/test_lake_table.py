@@ -112,6 +112,25 @@ def test_expire_snapshots_removes_unreferenced_files(spark, tmp_path):
     assert len(t.snapshots()) == 1
 
 
+def test_remove_orphans_sweeps_only_old_unreferenced(spark, tmp_path):
+    """Crash debris (data files no snapshot references) is swept, but only
+    past the age guard; referenced files are never touched."""
+    t = mk(spark, tmp_path / "t7b", [(f"doc{i}", 1, 0) for i in range(10)])
+    data_dir = os.path.join(t.path, "data", "deadbeef")
+    os.makedirs(data_dir)
+    orphan = os.path.join(data_dir, "part-crashed.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"PAR1junkPAR1")
+    rel = os.path.relpath(orphan, t.path)
+    assert t.orphan_files() == [rel]
+    assert t.remove_orphans(older_than_secs=3600) == []   # too fresh
+    os.utime(orphan, (0, 0))
+    assert t.remove_orphans(older_than_secs=3600) == [rel]
+    assert not os.path.exists(orphan)
+    assert t.orphan_files() == []
+    assert t.read(spark).count() == 10
+
+
 def test_append_delta_read_resolution_and_compact(spark, tmp_path):
     """Merge-on-read basics: a delta row shadows the base row for its key,
     stacked deltas resolve newest-commit-wins, compact folds everything
