@@ -793,6 +793,39 @@ def cosine_lsh_recall(spark, sf):
                     (F.sum("_h") == F.count("*")).alias("recall_ok"))
 
 
+@_q("sequence_pack_stats", """
+WITH n AS (
+  SELECT lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(string_split_regex(trim(text), '\\s+')) END AS nt
+  FROM documents)
+SELECT lang,
+       CAST(FLOOR((SUM(nt) + COUNT(*)) / 256) AS BIGINT) AS n_blocks,
+       CAST((SUM(nt) + COUNT(*)) % 256 AS BIGINT) AS tail_len
+FROM n GROUP BY lang
+""")
+def sequence_pack_stats(spark, sf):
+    """Training-batch sequence packing (GPT-style EOS-separated streams
+    sliced into 256-token blocks, packed per lang via applyInPandas —
+    functions/packing.py). The oracle is the conservation law: a stream
+    of D docs with Σn tokens packs into floor((Σn+D)/B) full blocks and
+    a ((Σn+D) mod B)-token tail; DuckDB derives both from raw text and
+    the engine's ACTUAL packed blocks must reproduce them per lang."""
+    from ..functions.packing import pack_blocks
+    d = _t(spark, sf, "documents")
+    blocks = pack_blocks(d, block_size=256)
+    full = (blocks.filter("is_full").groupBy("group")
+            .agg(F.count("*").alias("n_blocks")))
+    tail = (blocks.filter(~F.col("is_full"))
+            .select("group", F.size("tokens").alias("tail_len")))
+    return (full.join(tail, "group", "full_outer")
+            .select(F.col("group").alias("lang"),
+                    F.coalesce("n_blocks", F.lit(0)).cast("long")
+                    .alias("n_blocks"),
+                    F.coalesce("tail_len", F.lit(0)).cast("long")
+                    .alias("tail_len")))
+
+
 @_q("cosine_ivf_recall", """
 SELECT CAST(10 AS BIGINT) AS n_brute, TRUE AS recall_ok
 """)

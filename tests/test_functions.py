@@ -224,3 +224,43 @@ def test_multimodal_features_real_decode(spark):
     rm = {r["media_id"]: (r["target_w"], r["target_h"])
           for r in resize_meta(m, max_side=32).collect()}
     assert all(w <= 32 and h <= 32 for w, h in rm.values())
+
+
+def test_sequence_packing_conservation_and_content(spark):
+    """pack_blocks: EOS-separated stream in doc_id order, sliced into
+    fixed blocks; conservation law holds; contents deterministic; shards
+    partition the stream without losing tokens."""
+    from stellar_ledger_data_indexer_spark.functions.packing import (
+        EOS, pack_blocks)
+    docs = [(i, "en", " ".join(f"w{i}_{j}" for j in range(n)))
+            for i, n in enumerate([5, 0, 7, 3, 12, 9, 1])]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    B = 8
+    blocks = pack_blocks(df, block_size=B).collect()
+    total = sum(n for _, _, n in [(d[0], d[1], len(d[2].split()) if d[2] else 0)
+                                  for d in docs]) + len(docs)
+    full = [b for b in blocks if b["is_full"]]
+    tail = [b for b in blocks if not b["is_full"]]
+    assert len(full) == total // B
+    assert all(len(b["tokens"]) == B for b in full)
+    assert len(tail) <= 1
+    if tail:
+        assert len(tail[0]["tokens"]) == total % B
+    # exact stream content: concatenating blocks in block_id order
+    # reproduces docs in doc_id order, each followed by EOS
+    stream = [t for b in sorted(blocks, key=lambda r: r["block_id"])
+              for t in b["tokens"]]
+    expect = []
+    for _, _, text in docs:
+        expect += text.split() + [EOS]
+    assert stream == expect
+    # sharded packing conserves every token, per-shard law holds
+    sharded = pack_blocks(df, block_size=B, shards=3).collect()
+    assert sum(len(b["tokens"]) for b in sharded) == total
+    from collections import defaultdict
+    per = defaultdict(int)
+    for b in sharded:
+        per[b["shard"]] += len(b["tokens"])
+    for sh, n in per.items():
+        n_full = sum(1 for b in sharded if b["shard"] == sh and b["is_full"])
+        assert n_full == n // B
