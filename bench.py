@@ -35,7 +35,7 @@ QUERY_NAMES = [
     "join_agg_shuffle", "broadcast_dim_join", "topn_orders",
     "rollup_pricing", "topk_per_group", "anti_join_unordered_parts",
     "q3_shipping_priority",
-    "exact_dedup", "token_count", "text_stats", "lang_id",
+    "exact_dedup", "token_count", "token_count_bpe", "text_stats", "lang_id",
     "ngram_jaccard_pairs", "embedding_neardup", "cosine_knn",
     "minhash_pairs", "simhash_signatures", "cosine_knn_lsh",
     "minhash_lsh_verified", "simhash_neardup_recall", "cosine_lsh_recall",

@@ -32,6 +32,27 @@ def token_count(text: Column) -> Column:
         F.size(F.split(t, r"\s+"))).cast("int")
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs both Java
+# regex (Spark) and RE2 (DuckDB) evaluate identically: contraction
+# suffixes, optionally-space-prefixed letter runs, digit runs, and
+# punctuation runs. (The original GPT-2 pattern's trailing-space
+# lookahead is omitted — RE2 has no lookahead; pure-whitespace spans
+# are simply not counted as tokens.)
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|d|m|ll|ve|re)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+")
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE pre-tokenizer token count (the unit a GPT-style tokenizer's
+    merges operate within). SQL twin:
+    length(regexp_extract_all(text, <same pattern>))."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN),
+                                       F.lit(0))).cast("int")
+
+
 def word_occurrences(text: Column, word: str) -> Column:
     """Occurrences of ``word`` as a whitespace-delimited token, by
     replace-length arithmetic — dialect-portable (no regex flavor

@@ -478,6 +478,22 @@ def token_count(spark, sf):
     return d.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
 
 
+@_q("token_count_bpe", r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text,
+            '''(?:s|t|d|m|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+            AS INT) AS n_bpe
+FROM documents
+""")
+def token_count_bpe(spark, sf):
+    """GPT-2-style regex pre-tokenizer count (the BPE unit boundary) —
+    Java regex (Spark) and RE2 (DuckDB) evaluate the restricted pattern
+    identically; see functions/text.py::BPE_PRETOKEN_PATTERN."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TX.token_count_bpe(F.col("text"))
+                    .alias("n_bpe"))
+
+
 @_q("text_stats", """
 SELECT doc_id,
        length(text) AS n_chars_exact,

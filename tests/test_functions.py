@@ -264,3 +264,23 @@ def test_sequence_packing_conservation_and_content(spark):
     for sh, n in per.items():
         n_full = sum(1 for b in sharded if b["shard"] == sh and b["is_full"])
         assert n_full == n // B
+
+
+def test_token_count_bpe_pretokenizer(spark):
+    """GPT-2-style regex pre-tokenizer: contractions split, punctuation
+    runs and digit runs are their own tokens, space-prefixed words count
+    once."""
+    from stellar_ledger_data_indexer_spark.functions.text import \
+        token_count_bpe
+    cases = {
+        "it's a test-case, 42 tokens!": 10,
+        # it|'s| a| test|-|case|,| 42| tokens|!
+        "": 0,
+        "hello   world": 2,
+        "don't stop... 3.14": 7,   # don|'t| stop|...| 3|.|14
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    got = {r["text"]: r["n"] for r in
+           df.select("text", token_count_bpe(F.col("text")).alias("n"))
+           .collect()}
+    assert got == cases
