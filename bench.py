@@ -39,7 +39,7 @@ QUERY_NAMES = [
     "ngram_jaccard_pairs", "embedding_neardup", "cosine_knn",
     "minhash_pairs", "simhash_signatures", "cosine_knn_lsh",
     "minhash_lsh_verified", "simhash_neardup_recall", "cosine_lsh_recall",
-    "cosine_ivf_recall", "sequence_pack_stats",
+    "cosine_ivf_recall", "sequence_pack_stats", "curation_pipeline",
 ]
 
 

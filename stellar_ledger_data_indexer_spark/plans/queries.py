@@ -465,6 +465,46 @@ def exact_dedup(spark, sf):
     return exact_duplicates(d)
 
 
+@_q("curation_pipeline", f"""
+WITH q AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(string_split_regex(trim(text), '\\s+')) END
+         AS n_tokens
+  FROM documents
+  WHERE lang = 'en'
+    AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10
+        >= length(text) * 5
+),
+g AS (
+  SELECT doc_id, n_tokens FROM q WHERE n_tokens BETWEEN 5 AND 1000
+),
+d AS (
+  SELECT md5({_NORM_SQL}) AS fp, MIN(doc_id) AS doc_id
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM g) GROUP BY 1
+)
+SELECT g.doc_id, g.n_tokens FROM g JOIN d USING (doc_id)
+""")
+def curation_pipeline(spark, sf):
+    """End-to-end training-data curation as ONE composed plan: language
+    filter → integer-exact quality gates (alpha share ≥ 0.5, sane token
+    count) → exact dedup keeping the canonical (min doc_id) copy. The
+    shapes a 100 TB curation run chains — filter pushdown, group-by
+    dedup, semi-join back — in a single Catalyst plan; every gate uses
+    integer arithmetic so the oracle hashes exactly."""
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    gated = (d.filter(F.col("lang") == "en")
+             .filter(alpha * 10 >= F.length(t) * 5)
+             .withColumn("n_tokens", TX.token_count(t))
+             .filter(F.col("n_tokens").between(5, 1000)))
+    canon = (exact_duplicates(gated)
+             .select(F.col("canonical_id").alias("doc_id")))
+    return (gated.join(canon, "doc_id")
+            .select("doc_id", "n_tokens"))
+
+
 @_q("token_count", """
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
