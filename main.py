@@ -71,7 +71,76 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--synthesize", type=int, default=0, metavar="N_EVENTS",
                     help="generate a deterministic stream at --events-path "
                          "first (seed=42)")
+    ip = sub.add_parser("inspect", help="print warehouse state gauges as "
+                                        "one JSON object (the reference's "
+                                        "Prometheus gauge surface, internal/"
+                                        "utils/metrics.go:85-152) — driver-"
+                                        "side only, no Spark session")
+    ip.add_argument("--warehouse", required=True)
+    ip.add_argument("--events-path", default=None,
+                    help="also report the source tip (parquet footer "
+                         "stats, no scan)")
+    ip.add_argument("--last-epochs", type=int, default=5)
     return p
+
+
+def cmd_inspect(args: argparse.Namespace) -> int:
+    """Gauges from manifests + control tables + parquet footers — pure
+    driver-side pyarrow, works with zero JVM (ops parity with the
+    reference's always-on /metrics endpoint)."""
+    from stellar_ledger_data_indexer_spark.checkpoint import (CheckpointLog,
+                                                              MetricsLog)
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+
+    tpath = os.path.join(args.warehouse, "documents")
+    if not LakeTable.exists(tpath):
+        print(json.dumps({"error": "no target table", "warehouse":
+                          args.warehouse}), file=sys.stderr)
+        return 2
+    t = LakeTable(tpath)
+    cp = CheckpointLog(os.path.join(args.warehouse, "_checkpoints"))
+    mx = MetricsLog(os.path.join(args.warehouse, "_metrics"))
+    source_tip = None
+    if args.events_path and os.path.isdir(args.events_path):
+        import pyarrow.parquet as pq
+        tips = []
+        for root, _dirs, names in os.walk(args.events_path):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, n)).metadata
+                sidx = {md.schema.column(i).name: i
+                        for i in range(md.num_columns)}["seq"]
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(sidx).statistics
+                    if st is not None and st.has_min_max:
+                        tips.append(st.max)
+        source_tip = max(tips, default=None)
+    epochs = sorted(mx.read_latest(), key=lambda m: m["epoch_id"])
+    print(json.dumps({
+        "target": {
+            "snapshot": t.version,
+            "schema_version": t.manifest["schema_version"],
+            "physical_rows": sum(f.rows for f in t.files),  # base+deltas
+            "bytes": t.table_bytes(),
+            "files": len(t.files),
+            "delta_depth": t.delta_depth(),
+            "snapshots": len(t.snapshots()),
+            "orphan_files": len(t.orphan_files()),
+        },
+        "gauges": {
+            # ≙ max_ledger_sequence_indexed / _in_galexie gauges
+            "max_committed_hi": cp.max_committed_hi(None),
+            "max_seq_in_source": source_tip,
+        },
+        "last_epochs": [
+            {"epoch_id": m["epoch_id"], "dataset": m["dataset"],
+             "rows_updated": m["rows_updated"],
+             "wall_secs": m["wall_secs"],
+             "bytes_written": m["bytes_written"]}
+            for m in epochs[-args.last_epochs * 2:]],
+    }))
+    return 0
 
 
 def resolve_config(args: argparse.Namespace) -> argparse.Namespace:
@@ -106,7 +175,10 @@ def resolve_config(args: argparse.Namespace) -> argparse.Namespace:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = resolve_config(build_parser().parse_args(argv))
+    args = build_parser().parse_args(argv)
+    if args.cmd == "inspect":
+        return cmd_inspect(args)
+    args = resolve_config(args)
     if not args.events_path or not args.warehouse:
         print("error: --events-path and --warehouse are required "
               "(or SLDI_EVENTS_PATH / SLDI_WAREHOUSE, or a --config file)",

@@ -61,3 +61,35 @@ def test_wrong_toml_type_rejected(monkeypatch, tmp_path):
     with pytest.raises(SystemExit, match="expects int"):
         parse([], toml_text='epoch_size = "soon"\n',
               tmp_path=tmp_path, monkeypatch=monkeypatch)
+
+
+def test_inspect_requires_existing_table(tmp_path, capsys):
+    from main import main
+    assert main(["inspect", "--warehouse", str(tmp_path / "nope")]) == 2
+
+
+def test_inspect_reports_gauges(tmp_path, capsys, spark):
+    """inspect is driver-side only (no Spark session of its own) and
+    reports the reference's gauge surface: committed watermark, source
+    tip from parquet footer stats, table/snapshot state."""
+    import json
+
+    from main import main
+    from stellar_ledger_data_indexer_spark.job import IngestJob, JobConfig
+    from stellar_ledger_data_indexer_spark.sources.change_stream import (
+        StreamSpec, write_change_events)
+    ep = str(tmp_path / "events")
+    write_change_events(spark, ep,
+                        StreamSpec(n_events=2000, n_docs=50,
+                                   events_per_seq=100), partitions=2)
+    wh = str(tmp_path / "wh")
+    IngestJob(spark, JobConfig(events_path=ep, warehouse=wh, num_buckets=4,
+                               epoch_size=10)).run(start=2, end=0,
+                                                   backfill=True)
+    capsys.readouterr()
+    assert main(["inspect", "--warehouse", wh, "--events-path", ep]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["gauges"]["max_committed_hi"] == 21
+    assert out["gauges"]["max_seq_in_source"] == 21
+    assert out["target"]["snapshot"] >= 2
+    assert out["last_epochs"]
