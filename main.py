@@ -202,17 +202,24 @@ def main(argv: list[str] | None = None) -> int:
             num_buckets=args.num_buckets, epoch_size=args.epoch_size,
             salt_buckets=args.salt_buckets, write_mode=args.write_mode,
             compact_every=args.compact_every))
-        reports = job.run(start=args.start, end=args.end,
-                          backfill=args.backfill)
-        if not reports:
+        # epochs are applied AND reported one at a time (flushed): each
+        # line prints only after its checkpoint marker committed, so an
+        # operator watching stdout sees exactly the durable progress —
+        # the analog of the reference's per-batch processing logs
+        rng, epochs = job.plan(start=args.start, end=args.end,
+                               backfill=args.backfill)
+        if not epochs:
             print(json.dumps({"status": "nothing-to-do"}))
             return 0
-        for r in reports:
+        reports = []
+        for lo, hi in epochs:
+            r = job.apply_epoch(lo, hi)
+            reports.append(r)
             print(json.dumps({
                 "epoch": r.epoch_id, "lo": r.lo, "hi": r.hi,
                 "skipped": r.skipped, "rows_upserted": r.rows_upserted,
                 "rows_enriched": r.rows_enriched,
-                "target_snapshot": r.target_snapshot}))
+                "target_snapshot": r.target_snapshot}), flush=True)
         n = job.target.read(spark).count()
         print(json.dumps({"status": "done", "epochs": len(reports),
                           "target_rows": n,
