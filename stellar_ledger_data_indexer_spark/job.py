@@ -240,6 +240,10 @@ class IngestJob:
         # internal/db/migrations/20260225-reindex-contract-data-live-until.sql)
         if mor and self.target.delta_depth() >= self.cfg.compact_every:
             self.target.compact(self.spark)
+        # control-table hygiene: fold per-epoch one-file appends once they
+        # accrete (keeps watermark checks O(64) files at 10^6 epochs)
+        for log in (self.checkpoints, self.lineage, self.metrics):
+            log.table.fold_rows()
         return EpochReport(epoch_id, lo, hi, skipped=False,
                            rows_upserted=mres.rows_upserted,
                            rows_enriched=eres.updated,

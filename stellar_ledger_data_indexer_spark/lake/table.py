@@ -476,6 +476,35 @@ class LakeTable:
             out.extend(t.to_pylist())
         return out
 
+    def fold_rows(self, max_files: int = 64, keep_snapshots: int = 2) -> bool:
+        """Control-table hygiene, driver-side: once per-epoch appends have
+        accreted ``max_files`` one-file commits, fold every row into a
+        single data file and expire old manifests. Without this a 10^6-
+        epoch run leaves 10^6 tiny files + 10^6 manifests and every
+        watermark check walks all of them; with it the bookkeeping stays
+        O(max_files). Content (manifest/append order included) is
+        preserved — read_rows returns the same rows before and after."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if self.num_buckets or len(self.files) < max_files:
+            return False
+        rows = self.read_rows()  # preserves append order across files
+        names = [f.name for f in self.schema().fields]
+        # all-None columns would infer as null type; build against the
+        # physical arrow schema of an existing file instead
+        first = pq.read_schema(os.path.join(self.path, self.files[0].path))
+        tbl = pa.Table.from_pylist(rows, schema=first)
+        commit_id = f"commit-{uuid.uuid4().hex[:12]}"
+        rel_dir = os.path.join(DATA_DIR, commit_id)
+        os.makedirs(os.path.join(self.path, rel_dir), exist_ok=True)
+        rel = os.path.join(rel_dir, "part-00000.parquet")
+        pq.write_table(tbl.select(names), os.path.join(self.path, rel))
+        f = DataFile(rel, None, len(rows), self.schema_version)
+        self._commit([f], {d.path for d in self.files}, "fold_rows", {})
+        self.expire_snapshots(keep_last=keep_snapshots)
+        return True
+
     def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
         """Append rows (used by checkpoint / metrics / lineage tables).
         For a bucketed table the rows are routed to their partitions."""

@@ -297,3 +297,22 @@ def test_compact_coalesces_files(spark, tmp_path):
     t.compact(spark, target_files_per_bucket=1)
     assert len(t.files) <= before
     assert t.read(spark).count() == n_before
+
+
+def test_fold_rows_preserves_content_and_prunes_files(spark, tmp_path):
+    """Control-table hygiene: 70 one-row appends fold into one data file
+    + pruned manifests with identical row content and order."""
+    sch = T.StructType([T.StructField("epoch_id", T.LongType(), False),
+                        T.StructField("v", T.LongType(), True)])
+    t = LakeTable.create(str(tmp_path / "ctl"), sch)
+    for i in range(70):
+        t.append_rows([(i, None if i % 3 else i * 10)])
+    before = t.read_rows()
+    assert len(t.files) == 70
+    assert t.fold_rows(max_files=64) is True
+    assert len(t.files) == 1
+    assert t.read_rows() == before
+    assert len(t.snapshots()) <= 2
+    assert t.fold_rows(max_files=64) is False   # nothing to fold now
+    t.append_rows([(70, 700)])
+    assert t.read_rows() == before + [{"epoch_id": 70, "v": 700}]
