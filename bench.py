@@ -37,7 +37,7 @@ QUERY_NAMES = [
     "q3_shipping_priority",
     "exact_dedup", "token_count", "token_count_bpe", "text_stats", "lang_id",
     "ngram_jaccard_pairs", "embedding_neardup", "cosine_knn",
-    "minhash_pairs", "simhash_signatures", "cosine_knn_lsh",
+    "minhash_pairs", "simhash_signatures",
     "minhash_lsh_verified", "simhash_neardup_recall", "cosine_lsh_recall",
     "cosine_ivf_recall", "sequence_pack_stats", "curation_pipeline",
 ]

@@ -6,11 +6,18 @@ and relies on idempotent conditional upserts for replay safety
 (docs/devops.md:10-13). We keep that derivation (see
 ``IngestJob.max_seq_in_sink``) but make the commit explicit: a
 ``_checkpoints`` table gains one row per applied epoch, written strictly
-AFTER the target table's merge snapshots commit. The crash matrix:
+AFTER the target table's merge snapshots commit. The sink-derived max is
+used for resume ONLY while the checkpoint table is empty (bootstrap /
+lost-control-tables recovery — see ``IngestJob.resume_watermark``); once
+any marker exists, markers alone decide skipping, because a merge-
+committed-but-marker-less epoch must be REPLAYED, not skipped. The crash
+matrix:
 
 - crash before target merge        → epoch absent → re-run, clean apply
-- crash after merge, before marker → epoch absent → re-run; the strict
-  ``b.seq > t.seq`` LWW condition makes re-application a no-op
+- crash after merge, before marker → epoch absent → re-run replays it:
+  the lexicographic ``(seq, pos)`` LWW condition makes the target
+  re-application a no-op, and the replay re-lands the epoch's
+  metrics/lineage rows (duplicates folded by ``_latest_by_key``)
 - crash after marker               → epoch present → skipped entirely
 
 ``_lineage`` records per-bucket (per-partition) row counts for every
@@ -34,10 +41,22 @@ from .lake.table import LakeTable
 from .schema import CHECKPOINTS, LINEAGE, METRICS
 
 
+def _open_control(path: str, schema) -> LakeTable:
+    """Open-or-create a control table, auto-evolving a pre-existing one
+    to the current code-level schema (≙ migrations at session open,
+    internal/db/utils.go:47-55) — e.g. a _metrics table from before the
+    bytes_written column gains it here instead of silently dropping the
+    value at append time."""
+    if LakeTable.exists(path):
+        t = LakeTable(path)
+        t.ensure_columns(schema)
+        return t
+    return LakeTable.create(path, schema)
+
+
 class CheckpointLog:
     def __init__(self, path: str):
-        self.table = (LakeTable(path) if LakeTable.exists(path)
-                      else LakeTable.create(path, CHECKPOINTS))
+        self.table = _open_control(path, CHECKPOINTS)
 
     def committed_epochs(self, spark: SparkSession | None = None) -> set[int]:
         self.table.refresh()
@@ -77,8 +96,7 @@ def _latest_by_key(rows: list[dict], key_cols: tuple[str, ...]) -> list[dict]:
 
 class LineageLog:
     def __init__(self, path: str):
-        self.table = (LakeTable(path) if LakeTable.exists(path)
-                      else LakeTable.create(path, LINEAGE))
+        self.table = _open_control(path, LINEAGE)
 
     def read_latest(self) -> list[dict]:
         """One row per (epoch_id, bucket) — crash-replay duplicates folded."""
@@ -87,15 +105,22 @@ class LineageLog:
 
     def record_from_manifest(self, spark: SparkSession | None, epoch_id: int,
                              target: LakeTable, buckets: list[int],
-                             rows_in_by_bucket: dict[int, int] | None = None)\
-            -> None:
-        """Per-partition lineage from the freshly committed manifest: the
-        new row count of every bucket this epoch rewrote."""
+                             rows_in_by_bucket: dict[int, int] | None = None,
+                             commit_version: int | None = None) -> None:
+        """Per-partition lineage from the freshly committed manifest:
+        ``rows_out`` = rows the epoch's merge commit wrote per bucket —
+        under copy-on-write that IS the bucket's logical row count (the
+        commit rewrote it in full); under merge-on-read it is the epoch's
+        resolved delta rows (counting ALL physical files would inflate
+        the figure with rows shadowed by newer commits — ADVICE r2).
+        ``commit_version`` scopes the count to that snapshot's files;
+        None keeps the legacy all-physical-files behavior."""
         if not buckets:
             return
         counts: dict[int, int] = {b: 0 for b in buckets}
         for f in target.refresh().files:
-            if f.bucket in counts:
+            if f.bucket in counts and (commit_version is None
+                                       or f.commit_seq == commit_version):
                 counts[f.bucket] += f.rows
         self.table.append_rows(
             [(epoch_id, b, (rows_in_by_bucket or {}).get(b), counts[b])
@@ -104,8 +129,7 @@ class LineageLog:
 
 class MetricsLog:
     def __init__(self, path: str):
-        self.table = (LakeTable(path) if LakeTable.exists(path)
-                      else LakeTable.create(path, METRICS))
+        self.table = _open_control(path, METRICS)
 
     def read_latest(self) -> list[dict]:
         """One row per (epoch_id, dataset) — crash-replay duplicates folded."""

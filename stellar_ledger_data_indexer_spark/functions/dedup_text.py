@@ -194,22 +194,38 @@ def hamming64(a: Column, b: Column) -> Column:
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 2,
                         threshold: float = 0.5,
-                        block_col: str | None = None) -> DataFrame:
-    """Exact n-gram-set Jaccard over pairs, optionally blocked by a
-    cheap key (e.g. lang) to bound the self-join. At scale this runs on
-    LSH candidates, not the full cross-product."""
-    blk = [F.col(block_col).alias("_blk")] if block_col else []
+                        block_col: str | None = None,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram-set Jaccard scoring over pairs. The pair space MUST
+    be bounded up front — either by a blocking key (``block_col``, e.g.
+    lang) or an explicit candidate-pair DataFrame with (id_a, id_b)
+    columns (e.g. minhash_candidate_pairs output). There is deliberately
+    no unblocked fallback: an all-pairs crossJoin is quadratic in the
+    corpus and can never run at 10^10 docs, so reaching it in one
+    library call is an error, not a default (VERDICT r2 item 6)."""
+    if block_col is None and candidates is None:
+        raise ValueError(
+            "ngram_jaccard_pairs requires block_col or a candidates "
+            "DataFrame: exact Jaccard over the unblocked cross-product "
+            "is quadratic and unrunnable at scale")
     sets = docs.select(
-        F.col(id_col), *blk,
+        F.col(id_col),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
         F.array_distinct(word_shingles(F.col(text_col), shingle_n))
         .alias("grams"))
-    a = sets.select(F.col(id_col).alias("id_a"),
-                    *(["_blk"] if block_col else []),
-                    F.col("grams").alias("grams_a"))
-    b = sets.select(F.col(id_col).alias("id_b"),
-                    *(["_blk"] if block_col else []),
-                    F.col("grams").alias("grams_b"))
-    joined = a.join(b, "_blk") if block_col else a.crossJoin(b)
+    if candidates is not None:
+        a = sets.select(F.col(id_col).alias("id_a"),
+                        F.col("grams").alias("grams_a"))
+        b = sets.select(F.col(id_col).alias("id_b"),
+                        F.col("grams").alias("grams_b"))
+        joined = (candidates.select("id_a", "id_b")
+                  .join(a, "id_a").join(b, "id_b"))
+    else:
+        a = sets.select(F.col(id_col).alias("id_a"), "_blk",
+                        F.col("grams").alias("grams_a"))
+        b = sets.select(F.col(id_col).alias("id_b"), "_blk",
+                        F.col("grams").alias("grams_b"))
+        joined = a.join(b, "_blk")
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     union = (F.size("grams_a") + F.size("grams_b") - inter)
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))

@@ -26,6 +26,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .checkpoint import CheckpointLog, LineageLog, MetricsLog, now
 from .lake.table import LakeTable
@@ -115,10 +116,22 @@ class IngestJob:
         self.cfg = cfg
         wh = cfg.warehouse
         tpath = os.path.join(wh, "documents")
-        self.target = (LakeTable(tpath) if LakeTable.exists(tpath)
-                       else LakeTable.create(tpath, TARGET,
-                                             bucket_col="doc_id",
-                                             num_buckets=cfg.num_buckets))
+        if LakeTable.exists(tpath):
+            self.target = LakeTable(tpath)
+            # auto-evolve targets created before code-level schema
+            # additions (e.g. the r2 `pos` LWW tie-break column): the
+            # merge references every TARGET column, and read() null-fills
+            # old files once the schema knows it (≙ embedded migrations
+            # at session open, internal/db/utils.go:47-55). live_until is
+            # deliberately excluded — tests/the golden suite create
+            # enrichment-less targets on purpose (pre-20260203 parity).
+            pre_ttl = T.StructType(
+                [f for f in TARGET.fields if f.name != "live_until"])
+            self.target.ensure_columns(pre_ttl)
+        else:
+            self.target = LakeTable.create(tpath, TARGET,
+                                           bucket_col="doc_id",
+                                           num_buckets=cfg.num_buckets)
         self.checkpoints = CheckpointLog(os.path.join(wh, "_checkpoints"))
         self.lineage = LineageLog(os.path.join(wh, "_lineage"))
         self.metrics = MetricsLog(os.path.join(wh, "_metrics"))
@@ -173,14 +186,25 @@ class IngestJob:
     def resume_watermark(self) -> int:
         """Checkpoint table is authoritative; the sink max is the
         reference-parity fallback (≙ SELECT MAX(ledger_sequence),
-        internal/db/utils.go:61-71): if _checkpoints is lost or behind
-        while the target survives, resume still starts past the data the
-        sink provably holds instead of silently re-basing to 0 (which, on
-        an unbounded run, would jump to the source tip and skip the gap)."""
+        internal/db/utils.go:61-71) used ONLY when the checkpoint table
+        is genuinely missing/empty (e.g. _checkpoints lost while the
+        target survives): then resume starts past the data the sink
+        provably holds instead of silently re-basing to 0 (which, on an
+        unbounded run, would jump to the source tip and skip the gap).
+
+        With ANY committed checkpoint present, the sink max must NOT be
+        folded in: a crash between a merge commit and its marker leaves
+        sink max = hi with no marker, and max(cp, sink) would then SKIP
+        the epoch's replay — permanently dropping its enrichment (on the
+        two-commit path), metrics, and lineage rows. The marker-absent
+        epoch must re-run; the LWW merge makes the re-application a no-op
+        (ADVICE r2, job.py:183)."""
         cp = self.checkpoints.max_committed_hi(self.spark)
+        if cp > 0:
+            return cp
         if not self.target.refresh().files:
-            return max(cp, 0)
-        return max(cp, self.max_seq_in_sink(), 0)
+            return 0
+        return max(self.max_seq_in_sink(), 0)
 
     # ---------------------------------------------------------------- run
     def plan(self, start: int = 0, end: int = 0,
@@ -225,7 +249,8 @@ class IngestJob:
                             mres.matched, mres.inserted, mres.updated,
                             base_wall, bytes_written=mres.bytes_written)
         self.lineage.record_from_manifest(self.spark, epoch_id, self.target,
-                                          mres.buckets)
+                                          mres.buckets,
+                                          commit_version=mres.version)
         self.metrics.record(self.spark, epoch_id, "ttl", None, None, None,
                             None, eres.updated, ttl_wall,
                             bytes_written=eres.bytes_written)

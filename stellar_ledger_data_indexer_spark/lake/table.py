@@ -429,6 +429,24 @@ class LakeTable:
         """Total live data bytes (rewrite-amplification denominator)."""
         return sum(f.bytes for f in self.files)
 
+    def _arrow_schema(self):
+        """The CURRENT logical schema as a pyarrow schema (driver-side
+        control-table writes must follow the logical schema, never a
+        data file's physical one — old files lack evolved columns)."""
+        import pyarrow as pa
+
+        fields = []
+        for f in self.schema().fields:
+            t = f.dataType.typeName()
+            pa_t = {"long": pa.int64(), "integer": pa.int32(),
+                    "double": pa.float64(), "string": pa.string(),
+                    "boolean": pa.bool_(),
+                    "timestamp": pa.timestamp("us", tz="UTC")}.get(t)
+            if pa_t is None:
+                raise ValueError(f"unsupported control-table type {t}")
+            fields.append(pa.field(f.name, pa_t, nullable=f.nullable))
+        return pa.schema(fields)
+
     def append_rows(self, rows: list[tuple],
                     summary: dict[str, Any] | None = None) -> int:
         """Driver-side append for small control tables (checkpoints,
@@ -442,38 +460,44 @@ class LakeTable:
             raise ValueError("append_rows is for unpartitioned tables")
         if not rows:
             return self.version
-        spark_schema = self.schema()
+        schema = self._arrow_schema()
+        if len(rows[0]) != len(schema):
+            raise ValueError(
+                f"append_rows: {len(rows[0])} values per row vs "
+                f"{len(schema)} schema columns — evolve the table first "
+                f"(ensure_columns), values are never silently dropped")
         cols = list(zip(*rows))
-        arrays, names = [], []
-        for i, f in enumerate(spark_schema.fields):
-            t = f.dataType.typeName()
-            pa_t = {"long": pa.int64(), "integer": pa.int32(),
-                    "double": pa.float64(), "string": pa.string(),
-                    "boolean": pa.bool_(),
-                    "timestamp": pa.timestamp("us", tz="UTC")}.get(t)
-            if pa_t is None:
-                raise ValueError(f"append_rows: unsupported type {t}")
-            arrays.append(pa.array(cols[i], type=pa_t))
-            names.append(f.name)
+        arrays = [pa.array(cols[i], type=schema.field(i).type)
+                  for i in range(len(schema))]
         commit_id = f"commit-{uuid.uuid4().hex[:12]}"
         rel_dir = os.path.join(DATA_DIR, commit_id)
         os.makedirs(os.path.join(self.path, rel_dir), exist_ok=True)
         rel = os.path.join(rel_dir, "part-00000.parquet")
-        pq.write_table(pa.Table.from_arrays(arrays, names=names),
-                       os.path.join(self.path, rel))
-        f = DataFile(rel, None, len(rows), self.schema_version)
+        full = os.path.join(self.path, rel)
+        pq.write_table(pa.Table.from_arrays(arrays, schema=schema), full)
+        f = DataFile(rel, None, len(rows), self.schema_version,
+                     bytes=os.path.getsize(full))
         return self._commit([f], set(), "append", summary or {})
 
     def read_rows(self, columns: list[str] | None = None) -> list[dict]:
         """Driver-side read of a small unpartitioned table via pyarrow —
-        no Spark job (resume-watermark checks run once per epoch)."""
+        no Spark job (resume-watermark checks run once per epoch).
+        Columns evolved after a file was written read as None from that
+        file (the driver-side analog of read()'s null-fill)."""
         import pyarrow.parquet as pq
 
+        want = columns or [f.name for f in self.schema().fields]
         out: list[dict] = []
         for f in self.files:
-            t = pq.read_table(os.path.join(self.path, f.path),
-                              columns=columns)
-            out.extend(t.to_pylist())
+            pf = pq.ParquetFile(os.path.join(self.path, f.path))
+            have = [c for c in want if c in pf.schema_arrow.names]
+            rows = pf.read(columns=have).to_pylist()
+            missing = [c for c in want if c not in set(have)]
+            if missing:
+                for r in rows:
+                    for c in missing:
+                        r[c] = None
+            out.extend(rows)
         return out
 
     def fold_rows(self, max_files: int = 64, keep_snapshots: int = 2) -> bool:
@@ -490,17 +514,19 @@ class LakeTable:
         if self.num_buckets or len(self.files) < max_files:
             return False
         rows = self.read_rows()  # preserves append order across files
-        names = [f.name for f in self.schema().fields]
-        # all-None columns would infer as null type; build against the
-        # physical arrow schema of an existing file instead
-        first = pq.read_schema(os.path.join(self.path, self.files[0].path))
-        tbl = pa.Table.from_pylist(rows, schema=first)
+        # build against the CURRENT logical schema (typed, so all-None
+        # columns don't infer as null type) — a physical file schema
+        # would lack columns evolved after that file was written, and
+        # from_pylist null-fills keys old rows don't carry
+        tbl = pa.Table.from_pylist(rows, schema=self._arrow_schema())
         commit_id = f"commit-{uuid.uuid4().hex[:12]}"
         rel_dir = os.path.join(DATA_DIR, commit_id)
         os.makedirs(os.path.join(self.path, rel_dir), exist_ok=True)
         rel = os.path.join(rel_dir, "part-00000.parquet")
-        pq.write_table(tbl.select(names), os.path.join(self.path, rel))
-        f = DataFile(rel, None, len(rows), self.schema_version)
+        full = os.path.join(self.path, rel)
+        pq.write_table(tbl, full)
+        f = DataFile(rel, None, len(rows), self.schema_version,
+                     bytes=os.path.getsize(full))
         self._commit([f], {d.path for d in self.files}, "fold_rows", {})
         self.expire_snapshots(keep_last=keep_snapshots)
         return True
@@ -600,6 +626,22 @@ class LakeTable:
             raise ValueError(f"column {new} exists")
         new_fields = [dict(f, name=new) if f["name"] == old else f for f in cur]
         return self._commit_schema(new_fields, operation="rename-column")
+
+    def ensure_columns(self, schema: T.StructType) -> int:
+        """Auto-evolve an existing table to carry every column of
+        ``schema`` (by name; missing ones are added nullable, in order).
+        Opening a warehouse created before a code-level schema addition
+        (e.g. the r2 ``pos`` column on the target, ``bytes_written`` on
+        _metrics) must not fail on the first merge/append — the analog of
+        the reference auto-applying embedded migrations at session open
+        (internal/db/utils.go:47-55). Field-id mapping in read() null-
+        fills the new column for old files."""
+        have = {f["name"] for f in self._fields(self.schema_version)}
+        v = self.version
+        for f in schema.fields:
+            if f.name not in have:
+                v = self.alter_add_column(f.name, f.dataType, True)
+        return v
 
     def _commit_schema(self, new_fields: list[dict[str, Any]],
                        next_field_id: int | None = None,

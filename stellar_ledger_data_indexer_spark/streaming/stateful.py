@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..schema import OP_DELETE
+
 STATE_SCHEMA = T.StructType([
     T.StructField("n_events", T.LongType(), False),
     T.StructField("max_seq", T.LongType(), False),
@@ -60,7 +62,7 @@ def _update_doc_ledger(key: Tuple[str],
         w = int(np.lexsort((poss, seqs))[-1])
         if (int(seqs[w]), int(poss[w])) > (max_seq, max_pos):
             max_seq, max_pos = int(seqs[w]), int(poss[w])
-            deleted = bool(pdf["op"].iloc[w] == "delete")
+            deleted = bool(pdf["op"].iloc[w] == OP_DELETE)
     state.update((n_events, max_seq, max_pos, deleted))
     yield pd.DataFrame({"doc_id": [key[0]], "n_events": [n_events],
                         "max_seq": [max_seq], "deleted": [deleted]})

@@ -62,11 +62,22 @@ def test_all_queries_run(spark, catalog):
 # ngram_jaccard_pairs passed vacuously at threshold 0.3)
 NON_EMPTY = [
     "ngram_jaccard_pairs", "embedding_neardup", "minhash_pairs",
-    "minhash_lsh_verified", "cosine_knn", "cosine_knn_lsh",
+    "minhash_lsh_verified", "cosine_knn",
     "anti_join_unordered_parts", "q3_shipping_priority",
     "join_agg_shuffle", "broadcast_dim_join", "topn_orders",
     "rollup_pricing", "topk_per_group",
 ]
+
+
+def test_invariant_oracle_entries_pass(spark, catalog):
+    """The r3 invariant-oracled approximate entries must report their
+    invariants as True (the DuckDB side pins the count + TRUE constants;
+    this guards the Spark side directly)."""
+    qs, _ = catalog
+    mp = qs["minhash_pairs"](spark, SF_DIR).collect()[0]
+    assert mp["n_true"] > 0 and mp["covered_ok"] and mp["bands_ok"]
+    ss = qs["simhash_signatures"](spark, SF_DIR).collect()[0]
+    assert ss["n_fp_groups"] > 0 and ss["consistent_ok"]
 
 
 def test_pair_queries_non_empty(spark, catalog):

@@ -169,10 +169,41 @@ def test_embedding_neardup_pairs(spark):
     # n_planes=1 with the fixed seed keeps the near-dup pair co-bucketed;
     # more planes trade recall for smaller blocks (LSH semantics)
     pairs = {(r["id_a"], r["id_b"])
-             for r in embedding_neardup_pairs(e, threshold=0.97,
+             for r in embedding_neardup_pairs(e, dim=3, threshold=0.97,
                                               n_planes=1).collect()}
     assert (1, 4) in pairs
     assert (0, 3) not in pairs  # opposite vectors
+
+
+def test_embedding_neardup_pairs_plans_without_jobs(spark):
+    """Building the pair plan must not run a Spark job (the r2 version
+    ran .first() per call just to size the hyperplanes)."""
+    e = emb_df(spark)
+    group = "neardup-plan-only"
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "plan-only check", False)
+    try:
+        df = embedding_neardup_pairs(e, dim=3, threshold=0.97)
+        _ = df.columns  # force analysis, not execution
+    finally:
+        sc.setJobGroup("", "", False)
+    tracker = sc.statusTracker()
+    assert tracker.getJobIdsForGroup(group) == []
+
+
+def test_ngram_jaccard_requires_blocking(spark):
+    """The unblocked crossJoin fallback is gone: no block_col and no
+    candidate set is a ValueError, not a quadratic plan."""
+    from stellar_ledger_data_indexer_spark.functions.dedup_text import (
+        ngram_jaccard_pairs)
+    df = spark.createDataFrame(DOCS, DOC_SCHEMA)
+    with pytest.raises(ValueError, match="block_col or a candidates"):
+        ngram_jaccard_pairs(df)
+    # candidate-pair input is the sanctioned unblocked path
+    cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    scored = ngram_jaccard_pairs(df, threshold=0.0, candidates=cands)
+    rows = scored.collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(1, 2)}
 
 
 # ------------------------------------------------------------- multimodal
