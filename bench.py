@@ -31,7 +31,7 @@ QUERY_NAMES = [
     "cdc_filter_project", "cdc_image_select", "window_dedup_lww",
     "max_seq", "range_scan", "toid_pack", "sha256_key_hash",
     "enum_normalize", "ts_convert", "enrich_monotonic", "agg_counts",
-    "b64_serialize", "i128_decimal_sum",
+    "b64_serialize", "topics_serialize", "i128_decimal_sum",
     "join_agg_shuffle", "broadcast_dim_join", "topn_orders",
     "rollup_pricing", "topk_per_group", "anti_join_unordered_parts",
     "q3_shipping_priority",

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .checkpoint import CheckpointLog, LineageLog, MetricsLog, now
+from .datasets import resolve as resolve_datasets
 from .lake.table import LakeTable
 from .operators.cdc import project_base, project_enrich, validate_ops
 from .operators.dedup import dedup_enrich_candidates, dedup_lww
@@ -55,11 +56,16 @@ class JobConfig:
     # the full table size at scale (the round-1 DESIGN.md accounting bug).
     write_mode: str = "mor"         # "mor" | "cow"
     compact_every: int = 8          # epochs between delta compactions (mor)
+    # ordered dataset selection from datasets.REGISTRY (≙ the reference's
+    # ordered processor list, internal/main.go:127-144); add "doc_events"
+    # to wire the contract-events-analog third dataset
+    datasets: tuple[str, ...] = ("tokens", "ttl")
 
 
 def apply_change_batch(spark: SparkSession, target: LakeTable, events,
                        salt_buckets: int = 0, strict_ops: bool = False,
-                       fused: bool = True, mor: bool = False):
+                       fused: bool = True, mor: bool = False,
+                       enrich: bool = True):
     """The epoch body, reusable by the batch job and the streaming sink:
     base stage (project → LWW dedup → upsert merge), then enrichment
     stage — the fixed dataset order of the reference
@@ -77,7 +83,8 @@ def apply_change_batch(spark: SparkSession, target: LakeTable, events,
 
     if strict_ops:
         events = validate_ops(events)
-    has_enrich_col = "live_until" in {f.name for f in target.schema().fields}
+    has_enrich_col = enrich and "live_until" in {f.name for f
+                                                 in target.schema().fields}
     t0 = now()
     base = project_base(events)
     deduped = dedup_lww(base, key_cols=("doc_id",), order_cols=("seq", "pos"),
@@ -132,6 +139,23 @@ class IngestJob:
             self.target = LakeTable.create(tpath, TARGET,
                                            bucket_col="doc_id",
                                            num_buckets=cfg.num_buckets)
+        # registered datasets in dependency order (≙ the ordered
+        # processor list, internal/main.go:127-144); each "upsert"
+        # dataset owns an independent bucketed table in the warehouse
+        self.datasets = resolve_datasets(cfg.datasets)
+        self.extra_tables: dict[str, LakeTable] = {}
+        for spec in self.datasets:
+            if spec.kind != "upsert":
+                continue
+            p = os.path.join(wh, spec.table)
+            if LakeTable.exists(p):
+                tbl = LakeTable(p)
+                tbl.ensure_columns(spec.schema)
+            else:
+                tbl = LakeTable.create(p, spec.schema,
+                                       bucket_col=spec.key_col,
+                                       num_buckets=cfg.num_buckets)
+            self.extra_tables[spec.name] = tbl
         self.checkpoints = CheckpointLog(os.path.join(wh, "_checkpoints"))
         self.lineage = LineageLog(os.path.join(wh, "_lineage"))
         self.metrics = MetricsLog(os.path.join(wh, "_metrics"))
@@ -244,7 +268,8 @@ class IngestJob:
             self.spark, self.target, events,
             salt_buckets=self.cfg.salt_buckets,
             strict_ops=self.cfg.strict_ops,
-            fused=self.cfg.fused_merge, mor=mor)
+            fused=self.cfg.fused_merge, mor=mor,
+            enrich=any(s.kind == "enrich" for s in self.datasets))
         self.metrics.record(self.spark, epoch_id, "tokens", None, None,
                             mres.matched, mres.inserted, mres.updated,
                             base_wall, bytes_written=mres.bytes_written)
@@ -255,6 +280,24 @@ class IngestJob:
                             None, eres.updated, ttl_wall,
                             bytes_written=eres.bytes_written)
 
+        # additional registered datasets, applied in registry order AFTER
+        # the base/enrich pair (≙ processors running sequentially per
+        # ledger, internal/input/ledgerMetaDataReader.go:116-123); covered
+        # by the same epoch marker — replay after a crash re-applies them
+        # as LWW no-ops
+        from .operators.merge import merge_upsert_generic
+        for spec in self.datasets:
+            if spec.kind != "upsert":
+                continue
+            t0 = now()
+            batch = spec.dedup(spec.project(events))
+            res = merge_upsert_generic(self.spark,
+                                       self.extra_tables[spec.name],
+                                       batch, spec.key_col, mor=mor)
+            self.metrics.record(self.spark, epoch_id, spec.name, None, None,
+                                res.matched, res.inserted, res.updated,
+                                now() - t0, bytes_written=res.bytes_written)
+
         # marker written strictly last — the exactly-once commit point
         self.checkpoints.commit(self.spark, epoch_id, lo, hi,
                                 self.target.version, mres.rows_upserted,
@@ -263,8 +306,10 @@ class IngestJob:
         # into base files once resolution depth reaches the configured
         # bound (≙ the reference's post-backfill REINDEX upkeep,
         # internal/db/migrations/20260225-reindex-contract-data-live-until.sql)
-        if mor and self.target.delta_depth() >= self.cfg.compact_every:
-            self.target.compact(self.spark)
+        if mor:
+            for tbl in (self.target, *self.extra_tables.values()):
+                if tbl.delta_depth() >= self.cfg.compact_every:
+                    tbl.compact(self.spark)
         # control-table hygiene: fold per-epoch one-file appends once they
         # accrete (keeps watermark checks O(64) files at 10^6 epochs)
         for log in (self.checkpoints, self.lineage, self.metrics):

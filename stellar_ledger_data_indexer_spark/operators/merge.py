@@ -78,8 +78,9 @@ class MergeResult:
         return self.inserted + self.updated
 
 
-def _affected_buckets(table: LakeTable, batch: DataFrame) -> list[int]:
-    rows = (batch.select(table.bucket_expr(F.col("doc_id")).alias("b"))
+def _affected_buckets(table: LakeTable, batch: DataFrame,
+                      key_col: str = "doc_id") -> list[int]:
+    rows = (batch.select(table.bucket_expr(F.col(key_col)).alias("b"))
             .distinct().collect())
     return sorted(r["b"] for r in rows)
 
@@ -188,6 +189,79 @@ def merge_upsert_lww(spark: SparkSession, table: LakeTable,
             else:
                 version = table.overwrite_buckets(
                     final, buckets, summary={"op": "merge_upsert_lww"})
+            m = obs.get
+            return MergeResult(version=version,
+                               matched=int(m.get("matched") or 0),
+                               inserted=int(m.get("inserted") or 0),
+                               updated=int(m.get("updated") or 0),
+                               buckets=buckets,
+                               bytes_written=table.manifest["summary"]
+                               .get("bytes_written", 0))
+
+        return _with_commit_retry(table, attempt)
+    finally:
+        batch.unpersist()
+
+
+def merge_upsert_generic(spark: SparkSession, table: LakeTable,
+                         batch: DataFrame, key_col: str,
+                         mor: bool = False) -> MergeResult:
+    """Conditional LWW upsert into ANY keyed LakeTable (the registry's
+    "upsert" merge kind — ≙ UpsertRows with a {seq, OpGT}-style condition
+    on an arbitrary table/conflict column, internal/db/utils.go:74-130,
+    which the reference parameterizes exactly this way: table name,
+    conflict field, column list).
+
+    ``batch`` carries the full target schema, ≤1 row per ``key_col``
+    (dedup first), with ``seq``/``pos`` columns for the lexicographic
+    LWW condition. Unlike merge_upsert_lww there is no tombstone /
+    first_seq bookkeeping — datasets that need those semantics (the main
+    token stream) use the specialized path; immutable-event datasets
+    (doc_events) only need insert-or-newer-wins, which makes re-delivery
+    and crash-replay idempotent the same way.
+    """
+    batch = batch.persist()
+    try:
+        buckets = _affected_buckets(table, batch, key_col=key_col)
+        if not buckets:
+            return MergeResult(version=table.version)
+
+        def attempt() -> MergeResult:
+            t = table.read(spark, buckets=buckets).alias("t")
+            b = batch.alias("b")
+            j = t.join(b, F.col(f"t.{key_col}").eqNullSafe(F.col(f"b.{key_col}")),
+                       "right" if mor else "full_outer")
+            b_wins = _b_wins()
+            out_cols = [F.coalesce(F.col(f"t.{key_col}"),
+                                   F.col(f"b.{key_col}")).alias(key_col)]
+            for c in (f.name for f in table.schema().fields):
+                if c == key_col:
+                    continue
+                out_cols.append(F.when(b_wins, F.col(f"b.{c}"))
+                                .otherwise(F.col(f"t.{c}")).alias(c))
+            obs = Observation()
+            resolved = j.select(
+                *out_cols,
+                (F.col("t.seq").isNotNull() & F.col("b.seq").isNotNull())
+                .alias("_matched"),
+                (F.col("t.seq").isNull() & b_wins).alias("_inserted"),
+                (F.col("t.seq").isNotNull() & b_wins).alias("_updated"),
+            ).observe(
+                obs,
+                F.sum(F.col("_matched").cast("long")).alias("matched"),
+                F.sum(F.col("_inserted").cast("long")).alias("inserted"),
+                F.sum(F.col("_updated").cast("long")).alias("updated"),
+            )
+            final = (resolved
+                     .withColumn(BUCKET_COL,
+                                 table.bucket_expr(F.col(key_col)))
+                     .drop("_matched", "_inserted", "_updated"))
+            if mor:
+                version = table.append_delta(
+                    final, buckets, summary={"op": "merge_upsert_generic"})
+            else:
+                version = table.overwrite_buckets(
+                    final, buckets, summary={"op": "merge_upsert_generic"})
             m = obs.get
             return MergeResult(version=version,
                                matched=int(m.get("matched") or 0),

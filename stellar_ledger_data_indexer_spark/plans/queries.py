@@ -246,6 +246,35 @@ def b64_serialize(spark, sf):
         .alias("head_hex"))
 
 
+@_q("topics_serialize", """
+SELECT event_id,
+       (event_id << 32) | (user_id << 12) AS toid,
+       '{"' || event_type || '":[{"value":"' ||
+       CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR) || '"}]}'
+       AS topics_json
+FROM events
+""")
+def topics_serialize(spark, sf):
+    """Nested-topics serialization + TOID keying — the contract-events
+    dataset shape (topics map[string][]map[string]string serialized per
+    event + toid.New(seq, tx, 0), internal/contract/contract_events.go:
+    25-26,42,137-170). Spark builds the nested
+    map<string,array<map<string,string>>> and serializes with to_json
+    (JVM); DuckDB reproduces the exact byte encoding by concatenation.
+    The inverse (from_json decode through MERGE into the doc_events
+    table) is golden-tested in tests/test_datasets.py."""
+    e = _t(spark, sf, "events")
+    topics = F.create_map(
+        F.col("event_type"),
+        F.array(F.create_map(
+            F.lit("value"),
+            F.floor(F.col("value") * 100).cast("bigint").cast("string"))))
+    toid = (F.shiftleft(F.col("event_id"), 32)
+            .bitwiseOR(F.shiftleft(F.col("user_id"), 12)))
+    return e.select("event_id", toid.alias("toid"),
+                    F.to_json(topics).alias("topics_json"))
+
+
 @_q("i128_decimal_sum", """
 SELECT l_returnflag,
        CAST(CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38, 0))

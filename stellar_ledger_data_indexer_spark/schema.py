@@ -23,13 +23,22 @@ from __future__ import annotations
 from pyspark.sql import types as T
 
 # dataset discriminator values (≙ xdr.LedgerEntryType filter,
-# reference: internal/transform/contract_data.go:20-22, ttl.go:20-22)
+# reference: internal/transform/contract_data.go:20-22, ttl.go:20-22;
+# ENTRY_EVENTS ≙ the contract-events dataset the reference carries but
+# leaves unwired, internal/contract/contract_events.go:35)
 ENTRY_TOKENS = "tokens"
 ENTRY_TTL = "ttl"
+ENTRY_EVENTS = "events"
 
 OP_INSERT = "insert"
 OP_UPDATE = "update"
 OP_DELETE = "delete"
+
+# the nested topics payload of the events dataset
+# (≙ map[string][]map[string]string, internal/contract/contract_events.go:25-26)
+TOPICS_TYPE = T.MapType(
+    T.StringType(),
+    T.ArrayType(T.MapType(T.StringType(), T.StringType())))
 
 CHANGE_EVENTS = T.StructType([
     T.StructField("seq", T.LongType(), False),
@@ -41,6 +50,23 @@ CHANGE_EVENTS = T.StructType([
     T.StructField("entry_type", T.StringType(), False),
     T.StructField("closed_at", T.TimestampType(), False),
     T.StructField("live_until", T.LongType(), True),    # ttl events only
+    # events entries only (≙ the serialized XDR topic blob the reference
+    # decodes per event, contract_events.go:137-170; JSON here, decoded
+    # JVM-side with from_json)
+    T.StructField("tx_idx", T.LongType(), True),
+    T.StructField("topics_json", T.StringType(), True),
+])
+
+# the contract-events-analog output table: immutable per-event rows keyed
+# by TOID (ledger<<32 | tx<<12, contract_events.go:42)
+DOC_EVENTS = T.StructType([
+    T.StructField("event_id", T.LongType(), False),
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("seq", T.LongType(), False),
+    T.StructField("pos", T.LongType(), True),
+    T.StructField("tx_idx", T.LongType(), True),
+    T.StructField("topics", TOPICS_TYPE, True),
+    T.StructField("closed_at", T.TimestampType(), True),
 ])
 
 TARGET = T.StructType([

@@ -64,6 +64,9 @@ class StreamSpec:
     delete_pct: int = 5
     insert_pct: int = 40          # rest are updates
     nonce_permille: int = 10      # ~1% empty doc_id
+    # opt-in third dataset (contract-events analog): 0 keeps the stream
+    # byte-identical to the r1/r2 fixtures (golden literals pinned on it)
+    events_permille: int = 0
     tok_len_min: int = 1
     tok_len_max: int = 64
     vocab: int = 50257
@@ -90,12 +93,19 @@ def _gen_batch(ids: np.ndarray, s: StreamSpec) -> pa.RecordBatch:
     doc_id = np.where(nonce, "", doc_id)
 
     is_ttl = (h_type % np.uint64(1000)) < np.uint64(s.ttl_permille)
+    # events entries (opt-in third dataset) are carved from an
+    # independent hash stream and take precedence over the ttl draw
+    h_evt = _h(u, s.seed, 9)
+    is_evt = (h_evt % np.uint64(1000)) < np.uint64(s.events_permille)
+    is_ttl = is_ttl & ~is_evt
     opd = (h_op % np.uint64(100)).astype(np.int64)
     op = np.where(opd < s.delete_pct, "delete",
                   np.where(opd < s.delete_pct + s.insert_pct, "insert",
                            "update"))
     op = np.where(is_ttl, "update", op)
+    op = np.where(is_evt, "insert", op)   # events are immutable appends
     entry_type = np.where(is_ttl, "ttl", "tokens")
+    entry_type = np.where(is_evt, "events", entry_type)
 
     # seqs start at 2: seq<=1 is the planner's unbounded-tail sentinel
     # (≙ ledger 1 being the network genesis in the reference domain)
@@ -110,8 +120,24 @@ def _gen_batch(ids: np.ndarray, s: StreamSpec) -> pa.RecordBatch:
     live_until = np.maximum(live_until, 1)
     live_mask = is_ttl  # null elsewhere
 
-    # token arrays: null for deletes / ttl / nonce rows
-    has_tokens = (~is_ttl) & (op != "delete") & (~nonce)
+    # events payload: a small per-event nested topics object, serialized
+    # (≙ the XDR topic blob, decoded engine-side with from_json —
+    # contract_events.go:137-170). Deterministic pure function of the
+    # event hash; duplicate TOIDs within a seq arise naturally from the
+    # tx_idx draw (dedup regression surface for the events dataset).
+    tx_idx = (h_evt % np.uint64(4096)).astype(np.int64)
+    t_name = np.char.mod("t%d", ((h_evt >> np.uint64(12)) % np.uint64(3))
+                         .astype(np.int64))
+    k_name = np.char.mod("k%d", ((h_evt >> np.uint64(14)) % np.uint64(5))
+                         .astype(np.int64))
+    v_str = np.char.mod("%d", ((h_evt >> np.uint64(17)) % np.uint64(100000))
+                        .astype(np.int64))
+    topics_json = ('{"' + t_name.astype(object) + '":[{"' +
+                   k_name.astype(object) + '":"' + v_str.astype(object)
+                   + '"}]}')
+
+    # token arrays: null for deletes / ttl / events / nonce rows
+    has_tokens = (~is_ttl) & (~is_evt) & (op != "delete") & (~nonce)
     span = max(s.tok_len_max - s.tok_len_min + 1, 1)
     lens = (np.uint64(s.tok_len_min) + h_len % np.uint64(span)).astype(np.int64)
     lens = np.where(has_tokens, lens, 0)
@@ -138,9 +164,12 @@ def _gen_batch(ids: np.ndarray, s: StreamSpec) -> pa.RecordBatch:
          pa.array(source.astype(object)),
          pa.array(entry_type.astype(object)),
          pa.array(BASE_TS + seq),
-         pa.array(live_until, mask=~live_mask)],
+         pa.array(live_until, mask=~live_mask),
+         pa.array(tx_idx, mask=~is_evt),
+         pa.array(topics_json, mask=~is_evt)],
         names=["seq", "pos", "op", "doc_id", "tokens", "source",
-               "entry_type", "closed_at_s", "live_until"])
+               "entry_type", "closed_at_s", "live_until", "tx_idx",
+               "topics_json"])
 
 
 def synthesize_change_events(spark: SparkSession, spec: StreamSpec,
@@ -151,7 +180,8 @@ def synthesize_change_events(spark: SparkSession, spec: StreamSpec,
 
     out_schema = ("seq long, pos long, op string, doc_id string, "
                   "tokens array<int>, source string, entry_type string, "
-                  "closed_at_s long, live_until long")
+                  "closed_at_s long, live_until long, tx_idx long, "
+                  "topics_json string")
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:

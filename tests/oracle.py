@@ -86,6 +86,31 @@ def replay_oracle(events: Iterable[dict[str, Any]]) -> dict[str, dict[str, Any]]
     return state
 
 
+def replay_events_oracle(events: Iterable[dict[str, Any]]) \
+        -> dict[int, dict[str, Any]]:
+    """Reference model for the doc_events dataset (contract-events
+    analog): final state {event_id: row}, where event_id is the TOID
+    (seq<<32 | tx<<12, internal/contract/contract_events.go:42), rows
+    keyed LWW on (seq, pos) — re-delivered events collapse to the
+    stream's last occurrence — and topics decoded from the serialized
+    wire form."""
+    import json
+
+    state: dict[int, dict[str, Any]] = {}
+    for ev in sorted((e for e in events if e["entry_type"] == "events"
+                      and e["doc_id"]),
+                     key=lambda e: (e["seq"], e["pos"])):
+        tx = ev.get("tx_idx") or 0
+        eid = (ev["seq"] << 32) | (tx << 12)
+        state[eid] = {
+            "event_id": eid, "doc_id": ev["doc_id"], "seq": ev["seq"],
+            "pos": ev["pos"], "tx_idx": tx,
+            "topics": (json.loads(ev["topics_json"])
+                       if ev.get("topics_json") else None),
+            "closed_at": ev["closed_at"]}
+    return state
+
+
 def rows_to_events(rows) -> list[dict[str, Any]]:
     """Spark Row / pyarrow dicts → plain event dicts."""
     out = []

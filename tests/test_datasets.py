@@ -1,0 +1,160 @@
+"""Dataset registry + third dataset (contract-events analog) tests.
+
+Mirrors the reference's ordered-processor wiring
+(internal/main.go:125-144) and its contract-events shape — nested topics
+``map[string][]map[string]string`` + TOID transaction id
+(internal/contract/contract_events.go:25-26,42,137-170): registering
+``doc_events`` replays an events-style dataset with a MapType column
+through the LWW MERGE into its own keyed table, golden-checked against a
+single-threaded dict oracle under arbitrary epoch slicing.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from oracle import replay_events_oracle, rows_to_events  # noqa: E402
+
+from stellar_ledger_data_indexer_spark.datasets import (  # noqa: E402
+    DOC_EVENTS_SPEC, REGISTRY, resolve)
+from stellar_ledger_data_indexer_spark.job import IngestJob, JobConfig  # noqa: E402
+from stellar_ledger_data_indexer_spark.sources.change_stream import (  # noqa: E402
+    StreamSpec, read_change_events, write_change_events)
+
+SPEC = StreamSpec(n_events=12_000, n_docs=300, events_per_seq=100,
+                  events_permille=150)
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("ds") / "events")
+    write_change_events(spark, p, SPEC, partitions=4)
+    return p
+
+
+# ------------------------------------------------------------- registry
+def test_registry_resolve_validates():
+    assert [s.name for s in resolve(("tokens", "ttl", "doc_events"))] == \
+        ["tokens", "ttl", "doc_events"]
+    with pytest.raises(ValueError, match="unknown datasets"):
+        resolve(("tokens", "nope"))
+    with pytest.raises(ValueError, match="mandatory"):
+        resolve(("ttl",))
+    with pytest.raises(ValueError, match="must come after"):
+        resolve(("ttl", "tokens"))
+    assert set(REGISTRY) == {"tokens", "ttl", "doc_events"}
+
+
+def test_generator_emits_events_entries(spark, events_path):
+    df = read_change_events(spark, events_path)
+    n = df.filter("entry_type = 'events'").count()
+    assert 0 < n < SPEC.n_events  # ~15%
+    row = (df.filter("entry_type = 'events' AND doc_id != ''")
+           .select("tx_idx", "topics_json").first())
+    assert row["tx_idx"] is not None
+    assert row["topics_json"].startswith('{"t')
+    # default spec carries none — the r1/r2 fixture stream is unchanged
+    assert StreamSpec(n_events=1).events_permille == 0
+
+
+# ------------------------------------------------------- golden replay
+def _events_state(spark, job):
+    rows = job.extra_tables["doc_events"].read(spark).collect()
+    return {r["event_id"]: r.asDict(recursive=True) for r in rows}
+
+
+def _assert_matches_oracle(spark, job, events_path):
+    oracle = replay_events_oracle(rows_to_events(
+        read_change_events(spark, events_path).collect()))
+    engine = _events_state(spark, job)
+    assert set(engine) == set(oracle)
+    for eid, o in oracle.items():
+        e = engine[eid]
+        for c in ("doc_id", "seq", "pos", "tx_idx", "topics", "closed_at"):
+            assert e[c] == o[c], (eid, c, e[c], o[c])
+
+
+def test_doc_events_golden_replay(spark, events_path, tmp_path):
+    job = IngestJob(spark, JobConfig(
+        events_path=events_path, warehouse=str(tmp_path / "wh"),
+        num_buckets=8, epoch_size=40,
+        datasets=("tokens", "ttl", "doc_events")))
+    reports = job.run(start=2, end=0, backfill=True)
+    assert len(reports) > 1  # MapType MERGE exercised across epochs
+    _assert_matches_oracle(spark, job, events_path)
+    # re-run: every epoch skipped, state identical (exactly-once)
+    before = job.extra_tables["doc_events"].version
+    again = job.run(start=2, end=0, backfill=True)
+    assert all(r.skipped for r in again)
+    assert job.extra_tables["doc_events"].refresh().version == before
+    # per-dataset metrics rows landed (≙ RecordUpsertCount by dataset)
+    datasets = {m["dataset"] for m in job.metrics.read_latest()}
+    assert "doc_events" in datasets
+
+
+def test_doc_events_slicing_invariance(spark, events_path, tmp_path):
+    """Different epoch slicing (and CoW vs MoR commits) must converge to
+    the identical doc_events state — the exactly-once contract extended
+    to registered datasets."""
+    j1 = IngestJob(spark, JobConfig(
+        events_path=events_path, warehouse=str(tmp_path / "wh1"),
+        num_buckets=8, epoch_size=7,
+        datasets=("tokens", "ttl", "doc_events")))
+    j1.run(start=2, end=0, backfill=True)
+    j2 = IngestJob(spark, JobConfig(
+        events_path=events_path, warehouse=str(tmp_path / "wh2"),
+        num_buckets=8, epoch_size=10_000, write_mode="cow",
+        datasets=("tokens", "ttl", "doc_events")))
+    j2.run(start=2, end=0, backfill=True)
+    s1, s2 = _events_state(spark, j1), _events_state(spark, j2)
+    assert s1 == s2
+    _assert_matches_oracle(spark, j1, events_path)
+
+
+def test_doc_events_table_independent_of_main_target(spark, events_path,
+                                                     tmp_path):
+    """The third dataset must not perturb the main target: replaying with
+    and without doc_events registered yields byte-identical documents
+    state."""
+    wh_a, wh_b = str(tmp_path / "a"), str(tmp_path / "b")
+    ja = IngestJob(spark, JobConfig(events_path=events_path, warehouse=wh_a,
+                                    num_buckets=8, epoch_size=50))
+    ja.run(start=2, end=0, backfill=True)
+    jb = IngestJob(spark, JobConfig(events_path=events_path, warehouse=wh_b,
+                                    num_buckets=8, epoch_size=50,
+                                    datasets=("tokens", "ttl", "doc_events")))
+    jb.run(start=2, end=0, backfill=True)
+    cols = ["doc_id", "tokens", "n_tok", "seq", "pos", "deleted",
+            "live_until"]
+    a = {r["doc_id"]: r.asDict(recursive=True)
+         for r in ja.target.read(spark).select(cols).collect()}
+    b = {r["doc_id"]: r.asDict(recursive=True)
+         for r in jb.target.read(spark).select(cols).collect()}
+    assert a == b
+
+
+def test_project_events_unit(spark):
+    """TOID packing + topics decode golden row (≙ the transform golden
+    tests, internal/transform/contract_data_test.go:13-163)."""
+    from datetime import datetime, timezone
+
+    from stellar_ledger_data_indexer_spark.schema import CHANGE_EVENTS
+    ts = datetime(2024, 5, 1, tzinfo=timezone.utc)
+    rows = [
+        (7, 0, "insert", "docX", None, "src", "events", ts, None, 3,
+         '{"t1":[{"k0":"42"}]}'),
+        (7, 1, "insert", "", None, "src", "events", ts, None, 4, "{}"),
+        (7, 2, "insert", "docY", [1], "src", "tokens", ts, None, None,
+         None),
+    ]
+    df = spark.createDataFrame(rows, CHANGE_EVENTS)
+    out = {r["event_id"]: r.asDict(recursive=True)
+           for r in DOC_EVENTS_SPEC.project(df).collect()}
+    eid = (7 << 32) | (3 << 12)
+    assert set(out) == {eid}  # nonce + non-events filtered
+    row = out[eid]
+    assert row["doc_id"] == "docX" and row["tx_idx"] == 3
+    assert row["topics"] == {"t1": [{"k0": "42"}]}
