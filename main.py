@@ -71,6 +71,29 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--synthesize", type=int, default=0, metavar="N_EVENTS",
                     help="generate a deterministic stream at --events-path "
                          "first (seed=42)")
+    sp = sub.add_parser("stream", help="streaming tail of the change "
+                                       "stream (≙ the reference's unbounded "
+                                       "mode, internal/input/"
+                                       "ledgerMetaDataReader.go:83-90): "
+                                       "availableNow catch-up via Structured "
+                                       "Streaming foreachBatch")
+    sp.add_argument("--config", default=os.environ.get("SLDI_CONFIG"))
+    sp.add_argument("--events-path", default=None)
+    sp.add_argument("--warehouse", default=None)
+    sp.add_argument("--max-files-per-trigger", type=int, default=None,
+                    help="micro-batch width in files (files are seq-range-"
+                         "named and mtime-ordered by the writer, so any "
+                         "value preserves seq order)")
+    sp.add_argument("--salt-buckets", type=int, default=None)
+    sp.add_argument("--num-buckets", type=int, default=None)
+    sp.add_argument("--write-mode", choices=("mor", "cow"), default=None)
+    sp.add_argument("--epoch-size", type=int, default=None)      # layered compat
+    sp.add_argument("--start", type=int, default=None)
+    sp.add_argument("--end", type=int, default=None)
+    sp.add_argument("--backfill", action="store_const", const=True,
+                    default=None)
+    sp.add_argument("--compact-every", type=int, default=None)
+    sp.add_argument("--master", default=None)
     ip = sub.add_parser("inspect", help="print warehouse state gauges as "
                                         "one JSON object (the reference's "
                                         "Prometheus gauge surface, internal/"
@@ -81,6 +104,27 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also report the source tip (parquet footer "
                          "stats, no scan)")
     ip.add_argument("--last-epochs", type=int, default=5)
+    for verb, hlp in (
+            ("compact", "fold merge-on-read deltas / coalesce small files "
+                        "per bucket (Spark job; state unchanged)"),
+            ("expire-snapshots", "drop old manifests + data files only "
+                                 "they reference — driver-side, no JVM (≙ "
+                                 "the reference's post-backfill REINDEX "
+                                 "upkeep, internal/db/migrations/20260225-"
+                                 "reindex-contract-data-live-until.sql)"),
+            ("vacuum", "delete orphan data files no snapshot references "
+                       "(crash debris) — driver-side, no JVM")):
+        mp = sub.add_parser(verb, help=hlp)
+        mp.add_argument("--warehouse", required=True)
+        mp.add_argument("--table", default="documents")
+        if verb == "compact":
+            mp.add_argument("--master", default=None)
+        if verb == "expire-snapshots":
+            mp.add_argument("--keep", type=int, default=2)
+        if verb == "vacuum":
+            mp.add_argument("--older-than", type=float, default=3600.0,
+                            help="only sweep orphans at least this many "
+                                 "seconds old (protects in-flight commits)")
     return p
 
 
@@ -100,6 +144,11 @@ def cmd_inspect(args: argparse.Namespace) -> int:
     t = LakeTable(tpath)
     cp = CheckpointLog(os.path.join(args.warehouse, "_checkpoints"))
     mx = MetricsLog(os.path.join(args.warehouse, "_metrics"))
+    live = None
+    gpath = os.path.join(args.warehouse, "_gauges.json")
+    if os.path.exists(gpath):
+        with open(gpath) as fh:
+            live = json.load(fh)
     source_tip = None
     if args.events_path and os.path.isdir(args.events_path):
         import pyarrow.parquet as pq
@@ -133,6 +182,9 @@ def cmd_inspect(args: argparse.Namespace) -> int:
             "max_committed_hi": cp.max_committed_hi(None),
             "max_seq_in_source": source_tip,
         },
+        # the poll-while-running surface (written atomically by the job
+        # twice per epoch — see IngestJob._write_gauges)
+        "live": live,
         "last_epochs": [
             {"epoch_id": m["epoch_id"], "dataset": m["dataset"],
              "rows_updated": m["rows_updated"],
@@ -174,18 +226,86 @@ def resolve_config(args: argparse.Namespace) -> argparse.Namespace:
     return args
 
 
-def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
-    if args.cmd == "inspect":
-        return cmd_inspect(args)
-    args = resolve_config(args)
-    if not args.events_path or not args.warehouse:
-        print("error: --events-path and --warehouse are required "
-              "(or SLDI_EVENTS_PATH / SLDI_WAREHOUSE, or a --config file)",
+def cmd_maintenance(args: argparse.Namespace) -> int:
+    """compact / expire-snapshots / vacuum on one warehouse table (≙ the
+    reference's post-backfill maintenance migration). State is never
+    changed — only its physical layout; tests pin content fingerprints
+    across each verb."""
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+
+    tpath = os.path.join(args.warehouse, args.table)
+    if not LakeTable.exists(tpath):
+        print(json.dumps({"error": "no such table", "table": args.table}),
               file=sys.stderr)
         return 2
+    t = LakeTable(tpath)
+    before = {"files": len(t.files), "snapshots": len(t.snapshots()),
+              "bytes": t.table_bytes(), "orphans": len(t.orphan_files())}
+    if args.cmd == "compact":
+        from stellar_ledger_data_indexer_spark.session import get_spark
+        spark = get_spark(app="sldi-compact", master=args.master)
+        try:
+            t.compact(spark)
+        finally:
+            spark.stop()
+    elif args.cmd == "expire-snapshots":
+        t.expire_snapshots(keep_last=args.keep)
+    else:  # vacuum
+        t.remove_orphans(older_than_secs=args.older_than)
+    t.refresh()
+    print(json.dumps({
+        "status": "done", "verb": args.cmd, "table": args.table,
+        "before": before,
+        "after": {"files": len(t.files), "snapshots": len(t.snapshots()),
+                  "bytes": t.table_bytes(),
+                  "orphans": len(t.orphan_files())},
+        "snapshot": t.version}))
+    return 0
 
-    from stellar_ledger_data_indexer_spark.job import IngestJob, JobConfig
+
+class _SigintDrain:
+    """Graceful SIGINT (≙ the reference's context-cancel + admin-server
+    drain, internal/main.go:106-107,201-208): the FIRST Ctrl-C lets the
+    in-flight epoch finish and commit its marker, then the loop exits 130
+    with a final report line — never a half-reported epoch. A second
+    SIGINT falls through to Python's default KeyboardInterrupt (hard
+    abort, which the crash-resume path already converges from)."""
+
+    def __init__(self):
+        self.requested = False
+        self._prev = None
+
+    def __enter__(self):
+        import signal
+
+        def handler(signum, frame):
+            if self.requested:          # second Ctrl-C → hard abort
+                raise KeyboardInterrupt
+            self.requested = True
+            print(json.dumps({"status": "draining",
+                              "note": "finishing current epoch; "
+                                      "Ctrl-C again to abort"}),
+                  file=sys.stderr, flush=True)
+
+        self._prev = signal.signal(signal.SIGINT, handler)
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+        signal.signal(signal.SIGINT, self._prev)
+
+
+def _job_config(args) -> "JobConfig":  # noqa: F821 (resolved below)
+    from stellar_ledger_data_indexer_spark.job import JobConfig
+    return JobConfig(
+        events_path=args.events_path, warehouse=args.warehouse,
+        num_buckets=args.num_buckets, epoch_size=args.epoch_size,
+        salt_buckets=args.salt_buckets, write_mode=args.write_mode,
+        compact_every=args.compact_every)
+
+
+def cmd_append(args: argparse.Namespace) -> int:
+    from stellar_ledger_data_indexer_spark.job import IngestJob
     from stellar_ledger_data_indexer_spark.session import get_spark
     from stellar_ledger_data_indexer_spark.sources.change_stream import (
         StreamSpec, write_change_events)
@@ -197,11 +317,7 @@ def main(argv: list[str] | None = None) -> int:
                                 StreamSpec(n_events=args.synthesize))
             print(f"synthesized {args.synthesize} change events at "
                   f"{args.events_path}")
-        job = IngestJob(spark, JobConfig(
-            events_path=args.events_path, warehouse=args.warehouse,
-            num_buckets=args.num_buckets, epoch_size=args.epoch_size,
-            salt_buckets=args.salt_buckets, write_mode=args.write_mode,
-            compact_every=args.compact_every))
+        job = IngestJob(spark, _job_config(args))
         # epochs are applied AND reported one at a time (flushed): each
         # line prints only after its checkpoint marker committed, so an
         # operator watching stdout sees exactly the durable progress —
@@ -212,14 +328,21 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"status": "nothing-to-do"}))
             return 0
         reports = []
-        for lo, hi in epochs:
-            r = job.apply_epoch(lo, hi)
-            reports.append(r)
-            print(json.dumps({
-                "epoch": r.epoch_id, "lo": r.lo, "hi": r.hi,
-                "skipped": r.skipped, "rows_upserted": r.rows_upserted,
-                "rows_enriched": r.rows_enriched,
-                "target_snapshot": r.target_snapshot}), flush=True)
+        with _SigintDrain() as drain:
+            for lo, hi in epochs:
+                r = job.apply_epoch(lo, hi)
+                reports.append(r)
+                print(json.dumps({
+                    "epoch": r.epoch_id, "lo": r.lo, "hi": r.hi,
+                    "skipped": r.skipped, "rows_upserted": r.rows_upserted,
+                    "rows_enriched": r.rows_enriched,
+                    "target_snapshot": r.target_snapshot}), flush=True)
+                if drain.requested:
+                    print(json.dumps({
+                        "status": "interrupted", "epochs": len(reports),
+                        "last_committed_hi": r.hi,
+                        "target_snapshot": job.target.version}), flush=True)
+                    return 130
         n = job.target.read(spark).count()
         print(json.dumps({"status": "done", "epochs": len(reports),
                           "target_rows": n,
@@ -227,6 +350,57 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     finally:
         spark.stop()
+
+
+def cmd_stream(args: argparse.Namespace) -> int:
+    """CLI streaming tail: availableNow catch-up (processes everything
+    currently in the source, micro-batch by micro-batch, then stops) —
+    the reachable-from-the-CLI unbounded mode the reference exposes
+    through its single verb (internal/input/ledgerMetaDataReader.go:
+    83-90). Exactly-once = Spark streaming source offsets (checkpointed
+    under the warehouse) + idempotent LWW merge."""
+    from stellar_ledger_data_indexer_spark.job import IngestJob
+    from stellar_ledger_data_indexer_spark.session import get_spark
+    from stellar_ledger_data_indexer_spark.streaming.stream_job import (
+        stream_replay)
+
+    spark = get_spark(app="sldi-stream", master=args.master)
+    try:
+        # IngestJob opens/creates + auto-evolves the target and control
+        # tables; the streaming sink reuses its target
+        job = IngestJob(spark, _job_config(args))
+        q = stream_replay(
+            spark, args.events_path, job.target,
+            checkpoint_dir=os.path.join(args.warehouse,
+                                        "_stream_checkpoint"),
+            salt_buckets=args.salt_buckets,
+            max_files_per_trigger=args.max_files_per_trigger,
+            mor=(args.write_mode == "mor"))
+        q.awaitTermination()
+        n = job.target.read(spark).count()
+        print(json.dumps({"status": "done", "mode": "stream",
+                          "target_rows": n,
+                          "target_snapshot": job.target.refresh().version}))
+        return 0
+    finally:
+        spark.stop()
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "inspect":
+        return cmd_inspect(args)
+    if args.cmd in ("compact", "expire-snapshots", "vacuum"):
+        return cmd_maintenance(args)
+    args = resolve_config(args)
+    if not args.events_path or not args.warehouse:
+        print("error: --events-path and --warehouse are required "
+              "(or SLDI_EVENTS_PATH / SLDI_WAREHOUSE, or a --config file)",
+              file=sys.stderr)
+        return 2
+    if args.cmd == "stream":
+        return cmd_stream(args)
+    return cmd_append(args)
 
 
 if __name__ == "__main__":

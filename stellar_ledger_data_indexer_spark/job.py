@@ -21,7 +21,9 @@ One epoch (≙ §3.2 of SURVEY.md)::
 
 from __future__ import annotations
 
+import json
 import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
@@ -197,6 +199,43 @@ class IngestJob:
         by_volume = int(est_bytes // self.SHUFFLE_TARGET_BYTES) + 1
         return min(max(by_volume, lower), upper)
 
+    # -------------------------------------------------------- live gauges
+    # ≙ the reference's Prometheus gauges served WHILE indexing
+    # (internal/utils/metrics.go:85-152 + admin server,
+    # internal/main.go:109-116): a poll-while-running surface. One small
+    # JSON file per warehouse, replaced atomically (tmp + rename) twice
+    # per epoch — when the epoch starts ("ledger currently processing")
+    # and again right before the checkpoint marker. Readers (`main.py
+    # gauges` / any monitor) need zero JVM and never see a torn write.
+    def _write_gauges(self, phase: str, epoch_id: int, lo: int, hi: int)\
+            -> None:
+        path = os.path.join(self.cfg.warehouse, "_gauges.json")
+        tmp = path + ".tmp"
+        g = {
+            "phase": phase,                    # "applying" | "committed"
+            "epoch_id": epoch_id,
+            "range_start": lo,                 # ≙ BatchRangeStart/End gauges
+            "range_end": hi,
+            "epochs_done": self._epochs_done,
+            "rows_upserted_total": self._rows_upserted_total,
+            "rows_enriched_total": self._rows_enriched_total,
+            # ≙ max_ledger_sequence_indexed vs _in_galexie
+            "max_seq_indexed": (hi if phase == "committed"
+                                else max(lo - 1, 0)),
+            "max_seq_in_source": self._source_tip,
+            "updated_at": time.time(),
+        }
+        with open(tmp, "w") as fh:
+            json.dump(g, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+
+    _epochs_done = 0
+    _rows_upserted_total = 0
+    _rows_enriched_total = 0
+    _source_tip: int | None = None
+
     # ------------------------------------------------------------- resume
     def max_seq_in_sink(self) -> int:
         """≙ GetMaxLedgerSequence (S3, internal/db/utils.go:61-71) with the
@@ -234,6 +273,7 @@ class IngestJob:
     def plan(self, start: int = 0, end: int = 0,
              backfill: bool = False) -> tuple[SeqRange | None, list[tuple[int, int]]]:
         latest = max_seq_in_source(self.spark, self.cfg.events_path)
+        self._source_tip = latest
         watermark = self.resume_watermark()
         rng, proceed = get_seq_bound(start, end, latest, backfill, watermark)
         if not proceed or rng is None:
@@ -260,6 +300,7 @@ class IngestJob:
         if hi <= self.checkpoints.max_committed_hi(self.spark):
             return EpochReport(epoch_id, lo, hi, skipped=True,
                                target_snapshot=self.target.version)
+        self._write_gauges("applying", epoch_id, lo, hi)
         self.spark.conf.set("spark.sql.shuffle.partitions",
                             str(self._epoch_shuffle_partitions(lo, hi)))
         events = read_change_events(self.spark, self.cfg.events_path, lo, hi)
@@ -298,7 +339,14 @@ class IngestJob:
                                 res.matched, res.inserted, res.updated,
                                 now() - t0, bytes_written=res.bytes_written)
 
-        # marker written strictly last — the exactly-once commit point
+        # gauges refreshed BEFORE the marker (a poller sees the epoch's
+        # numbers no later than its durability point) …
+        self._epochs_done += 1
+        self._rows_upserted_total += mres.rows_upserted
+        self._rows_enriched_total += eres.updated
+        self._write_gauges("committed", epoch_id, lo, hi)
+        # … then the marker, written strictly last — the exactly-once
+        # commit point
         self.checkpoints.commit(self.spark, epoch_id, lo, hi,
                                 self.target.version, mres.rows_upserted,
                                 eres.updated)

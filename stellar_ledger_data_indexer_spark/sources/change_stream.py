@@ -22,6 +22,7 @@ internal/transform/ttl_test.go:113-243).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -216,6 +217,53 @@ def write_change_events(spark: SparkSession, path: str, spec: StreamSpec,
     (df.repartitionByRange(parts, "seq")
        .sortWithinPartitions("seq", "pos")
        .write.mode("overwrite").parquet(path))
+    _seq_align_file_names(path)
+
+
+def _seq_align_file_names(path: str) -> None:
+    """Rename data files to seq-range-encoded names and stamp mtimes
+    monotonically in that order.
+
+    Spark's streaming file source processes files in modification-time
+    order — with a same-job write all parts share one mtime, so the
+    micro-batch order was only INCIDENTALLY the seq order (the r1 flake:
+    a ttl seq split across micro-batches applied an earlier-pos value it
+    could not retract). The writer owns the layout (≙ the reference
+    lake's deterministic ledgers_per_file naming, config-test.toml:7-9),
+    so it makes the contract structural: file names carry [min_seq,
+    max_seq] and mtimes are strictly increasing in seq order — the
+    mtime-ordered source now IS seq-ordered, under any
+    maxFilesPerTrigger. Empty shuffle parts (range partitioner slack)
+    are dropped."""
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    infos: list[tuple[int, int, str]] = []
+    for n in sorted(os.listdir(path)):
+        if not n.endswith(".parquet"):
+            continue
+        full = os.path.join(path, n)
+        md = pq.ParquetFile(full).metadata
+        if md.num_rows == 0:
+            os.unlink(full)
+            continue
+        sidx = {md.schema.column(i).name: i
+                for i in range(md.num_columns)}["seq"]
+        mns, mxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(sidx).statistics
+            if st is not None and st.has_min_max:
+                mns.append(st.min)
+                mxs.append(st.max)
+        infos.append((int(min(mns)), int(max(mxs)), n))
+    infos.sort()
+    base = int(_time.time()) - 2 * len(infos)
+    for i, (mn, mx, n) in enumerate(infos):
+        new = os.path.join(path, f"seq-{mn:012d}-{mx:012d}-{i:05d}.parquet")
+        os.rename(os.path.join(path, n), new)
+        ts = base + 2 * i
+        os.utime(new, (ts, ts))
 
 
 def read_change_events(spark: SparkSession, path: str, lo: int | None = None,

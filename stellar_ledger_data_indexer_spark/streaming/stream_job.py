@@ -16,13 +16,18 @@ the base stream. The watermarked windowed aggregation below is the
 complementary event-time-metrics stream (late events beyond the
 watermark dropped).
 
-Source contract: files must arrive in seq order (the file source
-processes by modification time). The reference has the same contract —
-``ingest.ApplyLedgerMetadata`` iterates the ledger range strictly in
-order (internal/input/ledgerMetaDataReader.go:115-123). Base events
-tolerate disorder via LWW; ttl enrichment for a key whose FIRST base
-event is delivered in a LATER micro-batch would be dropped (exactly what
-the reference would do if ledgers arrived out of order).
+Source contract: files must arrive in seq order. The reference has the
+same contract — ``ingest.ApplyLedgerMetadata`` iterates the ledger range
+strictly in order (internal/input/ledgerMetaDataReader.go:115-123). The
+file source processes by modification time; the WRITER makes that order
+structural rather than incidental: ``write_change_events`` names every
+data file with its [min_seq, max_seq] range and stamps strictly
+increasing mtimes in that order (change_stream._seq_align_file_names),
+so mtime order == name order == seq order under any maxFilesPerTrigger —
+the r1 mtime-tie flake is impossible by construction. Base events
+additionally tolerate disorder via LWW; ttl enrichment for a key whose
+FIRST base event is delivered in a LATER micro-batch would be dropped
+(exactly what the reference would do if ledgers arrived out of order).
 """
 
 from __future__ import annotations

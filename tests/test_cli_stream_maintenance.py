@@ -1,0 +1,228 @@
+"""Round-3 CLI surface: `stream` verb (filename-ordered streaming tail),
+live gauges polled WHILE a replay runs, graceful SIGINT drain, and the
+maintenance verbs (compact / expire-snapshots / vacuum).
+
+Reference parity targets:
+- unbounded mode reachable from the CLI
+  (internal/input/ledgerMetaDataReader.go:83-90)
+- Prometheus gauges served while indexing
+  (internal/main.go:109-116, internal/utils/metrics.go:85-152)
+- SIGINT context-cancel + drain (internal/main.go:106-107,201-208)
+- post-backfill REINDEX upkeep
+  (internal/db/migrations/20260225-reindex-contract-data-live-until.sql)
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from oracle import (assert_states_equal, replay_oracle,  # noqa: E402
+                    rows_to_events, state_from_target)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MAIN = os.path.join(REPO, "main.py")
+
+
+def _run(args, **kw):
+    return subprocess.run([sys.executable, MAIN] + args, cwd=REPO,
+                          capture_output=True, text=True, timeout=600, **kw)
+
+
+# ----------------------------------------------------- seq-named source
+def test_writer_emits_seq_named_files_in_mtime_order(spark, tmp_path):
+    from stellar_ledger_data_indexer_spark.sources.change_stream import (
+        StreamSpec, write_change_events)
+    p = str(tmp_path / "events")
+    write_change_events(spark, p, StreamSpec(n_events=5000), partitions=4)
+    names = sorted(n for n in os.listdir(p) if n.endswith(".parquet"))
+    assert names and all(n.startswith("seq-") for n in names)
+    # name order == seq order == strictly increasing mtime order
+    mtimes = [os.path.getmtime(os.path.join(p, n)) for n in names]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+    ranges = [(int(n.split("-")[1]), int(n.split("-")[2])) for n in names]
+    assert ranges == sorted(ranges)
+    # whole ledgers per file: ranges don't overlap (a boundary never
+    # splits one seq across files)
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+
+
+def test_cli_stream_converges_to_oracle(spark, tmp_path):
+    """CLI-driven streaming replay under maxFilesPerTrigger=1 (one file
+    per micro-batch — the strictest slicing) must converge to the dict
+    oracle, byte-for-byte."""
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+    from stellar_ledger_data_indexer_spark.sources.change_stream import (
+        StreamSpec, read_change_events, write_change_events)
+    events = str(tmp_path / "events")
+    wh = str(tmp_path / "wh")
+    write_change_events(spark, events, StreamSpec(n_events=6000, n_docs=150),
+                        partitions=4)
+    r = _run(["stream", "--events-path", events, "--warehouse", wh,
+              "--max-files-per-trigger", "1", "--num-buckets", "8",
+              "--master", "local[4]"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    done = json.loads(r.stdout.splitlines()[-1])
+    assert done["status"] == "done" and done["mode"] == "stream"
+    oracle = replay_oracle(rows_to_events(
+        read_change_events(spark, events).collect()))
+    engine = state_from_target(
+        LakeTable(os.path.join(wh, "documents")).read(spark).collect())
+    assert_states_equal(engine, oracle)
+
+
+# ------------------------------------------------------------ live gauges
+def test_gauges_advance_while_replay_runs(tmp_path):
+    """Poll _gauges.json from OUTSIDE the job process while it replays:
+    the gauge file must appear, advance monotonically, and end with the
+    committed state of the final epoch."""
+    events = str(tmp_path / "events")
+    wh = str(tmp_path / "wh")
+    r = _run(["append", "--events-path", events, "--warehouse", wh,
+              "--synthesize", "30000", "--start", "2", "--end", "0",
+              "--epoch-size", "20", "--num-buckets", "8",
+              "--master", "local[4]"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    # second warehouse: watch gauges live during the replay
+    wh2 = str(tmp_path / "wh2")
+    p = subprocess.Popen(
+        [sys.executable, MAIN, "append", "--events-path", events,
+         "--warehouse", wh2, "--start", "2", "--end", "0",
+         "--epoch-size", "20", "--num-buckets", "8",
+         "--master", "local[4]"],
+        cwd=REPO, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    gpath = os.path.join(wh2, "_gauges.json")
+    seen = []
+    try:
+        deadline = time.time() + 300
+        while p.poll() is None and time.time() < deadline:
+            if os.path.exists(gpath):
+                try:
+                    with open(gpath) as fh:
+                        g = json.load(fh)
+                except (json.JSONDecodeError, OSError):
+                    continue  # unreachable with atomic replace; be safe
+                if not seen or g["updated_at"] > seen[-1]["updated_at"]:
+                    seen.append(g)
+            time.sleep(0.05)
+        assert p.wait(timeout=300) == 0
+    finally:
+        if p.poll() is None:
+            p.kill()
+    assert len(seen) >= 3, "gauges never advanced during the run"
+    eps = [g["epochs_done"] for g in seen]
+    assert eps == sorted(eps)
+    assert any(g["phase"] == "applying" for g in seen)
+    ups = [g["rows_upserted_total"] for g in seen]
+    assert ups == sorted(ups) and ups[-1] > 0
+    last = json.load(open(gpath))
+    assert last["phase"] == "committed"
+    assert last["max_seq_indexed"] == last["max_seq_in_source"]
+    # inspect surfaces the same live gauges
+    out = json.loads(_run(["inspect", "--warehouse", wh2]).stdout)
+    assert out["live"]["epochs_done"] == last["epochs_done"]
+
+
+# ---------------------------------------------------------------- SIGINT
+def test_sigint_drains_current_epoch(tmp_path):
+    """First SIGINT: the in-flight epoch finishes and commits, the
+    process exits 130 with an 'interrupted' report, and the warehouse
+    holds exactly the reported epochs — no debris beyond orphans."""
+    events = str(tmp_path / "events")
+    wh = str(tmp_path / "wh")
+    r = _run(["append", "--events-path", events, "--warehouse",
+              str(tmp_path / "seed"), "--synthesize", "30000", "--start",
+              "2", "--end", "1", "--master", "local[4]"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    p = subprocess.Popen(
+        [sys.executable, MAIN, "append", "--events-path", events,
+         "--warehouse", wh, "--start", "2", "--end", "0",
+         "--epoch-size", "20", "--num-buckets", "8",
+         "--master", "local[4]"],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True)
+    lines = []
+    for line in p.stdout:
+        if line.startswith('{"epoch"'):
+            lines.append(json.loads(line))
+            if len(lines) == 1:
+                p.send_signal(signal.SIGINT)
+        elif line.startswith('{"status"'):
+            lines.append(json.loads(line))
+    rc = p.wait(timeout=300)
+    assert rc == 130, (rc, lines)
+    final = lines[-1]
+    assert final["status"] == "interrupted"
+    epoch_lines = [ln for ln in lines if "epoch" in ln]
+    assert final["last_committed_hi"] == epoch_lines[-1]["hi"]
+    # durable state == reported state, exactly
+    out = json.loads(_run(["inspect", "--warehouse", wh,
+                           "--events-path", events]).stdout)
+    assert out["gauges"]["max_committed_hi"] == final["last_committed_hi"]
+    # and the drained run resumes cleanly to completion
+    r2 = _run(["append", "--events-path", events, "--warehouse", wh,
+               "--start", "2", "--end", "0", "--epoch-size", "20",
+               "--num-buckets", "8", "--master", "local[4]"])
+    assert r2.returncode == 0
+    out2 = json.loads(_run(["inspect", "--warehouse", wh,
+                            "--events-path", events]).stdout)
+    assert out2["gauges"]["max_committed_hi"] \
+        == out2["gauges"]["max_seq_in_source"]
+
+
+# ----------------------------------------------------- maintenance verbs
+def _fingerprint(spark, wh):
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+    rows = LakeTable(os.path.join(wh, "documents")).read(spark).collect()
+    return sorted((r["doc_id"], tuple(r["tokens"] or []), r["seq"],
+                   r["deleted"], r["live_until"]) for r in rows)
+
+
+def test_maintenance_verbs(spark, tmp_path):
+    events = str(tmp_path / "events")
+    wh = str(tmp_path / "wh")
+    r = _run(["append", "--events-path", events, "--warehouse", wh,
+              "--synthesize", "20000", "--start", "2", "--end", "0",
+              "--epoch-size", "25", "--num-buckets", "8",
+              "--compact-every", "10000",  # leave deltas for compact to fold
+              "--master", "local[4]"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    before = _fingerprint(spark, wh)
+
+    # vacuum: plant an orphan (≙ crash debris), backdate it, sweep it
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+    t = LakeTable(os.path.join(wh, "documents"))
+    orphan = os.path.join(t.path, "data", "commit-deadbeef",
+                          "part-00000.parquet")
+    os.makedirs(os.path.dirname(orphan))
+    ref = next(f.path for f in t.files)
+    with open(os.path.join(t.path, ref), "rb") as src, \
+            open(orphan, "wb") as dst:
+        dst.write(src.read())
+    os.utime(orphan, (0, 0))
+    out = json.loads(_run(["vacuum", "--warehouse", wh]).stdout)
+    assert out["before"]["orphans"] >= 1 and out["after"]["orphans"] == 0
+    assert not os.path.exists(orphan)
+
+    # compact: file count drops (stacked MoR deltas fold), content equal
+    out = json.loads(_run(["compact", "--warehouse", wh,
+                           "--master", "local[4]"]).stdout)
+    assert out["after"]["files"] < out["before"]["files"]
+    assert _fingerprint(spark, wh) == before
+
+    # expire-snapshots: manifests drop to --keep, content equal
+    out = json.loads(_run(["expire-snapshots", "--warehouse", wh,
+                           "--keep", "2"]).stdout)
+    assert out["before"]["snapshots"] > 2 and out["after"]["snapshots"] == 2
+    assert _fingerprint(spark, wh) == before
+
+    # unknown table → clean error
+    r = _run(["vacuum", "--warehouse", wh, "--table", "nope"])
+    assert r.returncode == 2
