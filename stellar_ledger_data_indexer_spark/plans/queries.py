@@ -997,7 +997,11 @@ def minhash_pairs(spark, sf):
       the banding arithmetic invariant.
     """
     corpus = _twin_corpus(spark, sf)
-    cands = minhash_candidate_pairs(corpus, num_perm=32, num_bands=16)
+    # the candidate set feeds BOTH invariant branches (coverage join +
+    # bands agg) — persist so the banding pipeline runs once, not per
+    # branch (the cache is the tiny aggregated pair list)
+    cands = minhash_candidate_pairs(corpus, num_perm=32,
+                                    num_bands=16).persist()
     grams = corpus.select(
         "doc_id",
         F.array_distinct(word_shingles(F.col("text"), 2)).alias("g"))
