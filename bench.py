@@ -114,6 +114,12 @@ def bench_queries(spark) -> dict[str, float]:
     minhash_candidate_pairs(tiny, num_perm=4, num_bands=2).count()
     simhash(tiny).count()
 
+    # drift guard: the curated timing order must cover the catalog exactly
+    missing = set(QUERY_FNS) - set(QUERY_NAMES)
+    stale = set(QUERY_NAMES) - set(QUERY_FNS)
+    assert not missing and not stale, (
+        f"bench QUERY_NAMES out of sync with the catalog: "
+        f"missing={sorted(missing)} stale={sorted(stale)}")
     out = {}
     for name in QUERY_NAMES:
         fn = QUERY_FNS[name]
@@ -130,10 +136,20 @@ def main() -> int:
     sf = sf_of(SF_DIR)
     n_events = int(os.environ.get("SLDI_BENCH_EVENTS",
                                   max(int(20_000_000 * sf), 100_000)))
+    # scratch on tmpfs when available: this box's /tmp disk writes
+    # ~500 MB/s and saturates long before 32 cores do — on /dev/shm the
+    # replay measures the engine (CPU/shuffle), which is what a cluster
+    # node with local NVMe would look like. SLDI_BENCH_DIR/SLDI_LOCAL_DIR
+    # override both.
+    shm = os.path.isdir("/dev/shm")
+    if shm and not os.environ.get("SLDI_LOCAL_DIR"):
+        os.environ["SLDI_LOCAL_DIR"] = "/dev/shm/sldi_bench_local"
+        os.makedirs(os.environ["SLDI_LOCAL_DIR"], exist_ok=True)
     spark = get_spark(app="sldi-bench", master=f"local[{par}]",
                       shuffle_partitions=par * 2,
                       extra={"spark.ui.enabled": "false"})
-    work = os.environ.get("SLDI_BENCH_DIR", "/tmp/sldi_bench")
+    work = os.environ.get("SLDI_BENCH_DIR",
+                          "/dev/shm/sldi_bench" if shm else "/tmp/sldi_bench")
     os.makedirs(work, exist_ok=True)
     try:
         replay = bench_replay(spark, n_events, work, par)
@@ -153,6 +169,7 @@ def main() -> int:
     finally:
         spark.stop()
         shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree("/dev/shm/sldi_bench_local", ignore_errors=True)
 
 
 if __name__ == "__main__":

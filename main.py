@@ -37,6 +37,7 @@ LAYERED = {
     "salt_buckets": (int, 0),
     "write_mode": (str, "mor"),
     "compact_every": (int, 8),
+    "datasets": (str, "tokens,ttl"),
     "master": (str, None),
 }
 
@@ -67,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "or copy-on-write bucket rewrites")
     ap.add_argument("--compact-every", type=int, default=None,
                     help="delta depth that triggers compaction (mor mode)")
+    ap.add_argument("--datasets", default=None,
+                    help="comma-separated ordered dataset selection from "
+                         "the registry (default tokens,ttl; add "
+                         "doc_events for the contract-events-analog "
+                         "table)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--synthesize", type=int, default=0, metavar="N_EVENTS",
                     help="generate a deterministic stream at --events-path "
@@ -93,6 +99,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--backfill", action="store_const", const=True,
                     default=None)
     sp.add_argument("--compact-every", type=int, default=None)
+    sp.add_argument("--datasets", default=None)
     sp.add_argument("--master", default=None)
     ip = sub.add_parser("inspect", help="print warehouse state gauges as "
                                         "one JSON object (the reference's "
@@ -301,7 +308,9 @@ def _job_config(args) -> "JobConfig":  # noqa: F821 (resolved below)
         events_path=args.events_path, warehouse=args.warehouse,
         num_buckets=args.num_buckets, epoch_size=args.epoch_size,
         salt_buckets=args.salt_buckets, write_mode=args.write_mode,
-        compact_every=args.compact_every)
+        compact_every=args.compact_every,
+        datasets=tuple(s.strip() for s in args.datasets.split(",")
+                       if s.strip()))
 
 
 def cmd_append(args: argparse.Namespace) -> int:
@@ -375,7 +384,9 @@ def cmd_stream(args: argparse.Namespace) -> int:
                                         "_stream_checkpoint"),
             salt_buckets=args.salt_buckets,
             max_files_per_trigger=args.max_files_per_trigger,
-            mor=(args.write_mode == "mor"))
+            mor=(args.write_mode == "mor"),
+            extra_datasets=[(s, job.extra_tables[s.name])
+                            for s in job.datasets if s.kind == "upsert"])
         q.awaitTermination()
         n = job.target.read(spark).count()
         print(json.dumps({"status": "done", "mode": "stream",

@@ -232,13 +232,21 @@ def merge_upsert_generic(spark: SparkSession, table: LakeTable,
             j = t.join(b, F.col(f"t.{key_col}").eqNullSafe(F.col(f"b.{key_col}")),
                        "right" if mor else "full_outer")
             b_wins = _b_wins()
+            batch_cols = set(batch.columns)
             out_cols = [F.coalesce(F.col(f"t.{key_col}"),
                                    F.col(f"b.{key_col}")).alias(key_col)]
             for c in (f.name for f in table.schema().fields):
                 if c == key_col:
                     continue
-                out_cols.append(F.when(b_wins, F.col(f"b.{c}"))
-                                .otherwise(F.col(f"t.{c}")).alias(c))
+                if c in batch_cols:
+                    out_cols.append(F.when(b_wins, F.col(f"b.{c}"))
+                                    .otherwise(F.col(f"t.{c}")).alias(c))
+                else:
+                    # schema-evolved column the projector doesn't emit
+                    # yet: pass through the target side (null for rows
+                    # the batch inserts) — same contract as the main
+                    # merge's evolved pass-through
+                    out_cols.append(F.col(f"t.{c}").alias(c))
             obs = Observation()
             resolved = j.select(
                 *out_cols,

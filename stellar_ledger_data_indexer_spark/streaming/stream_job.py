@@ -43,7 +43,8 @@ from ..schema import CHANGE_EVENTS
 def stream_replay(spark: SparkSession, events_path: str, target: LakeTable,
                   checkpoint_dir: str, salt_buckets: int = 0,
                   max_files_per_trigger: int | None = None,
-                  mor: bool = False):
+                  mor: bool = False,
+                  extra_datasets: list | None = None):
     """Start a streaming replay into ``target``. Returns the
     StreamingQuery; callers drive it with processAllAvailable()/stop()
     (tests) or awaitTermination() (production tail).
@@ -58,15 +59,26 @@ def stream_replay(spark: SparkSession, events_path: str, target: LakeTable,
     therefore be seq-aligned (whole ledgers per file — the reference's
     lake layout, and what write_change_events guarantees); the file
     source then batches whole files, so every micro-batch carries
-    complete seqs."""
+    complete seqs.
+
+    ``extra_datasets``: optional list of (DatasetSpec, LakeTable) pairs
+    (the registry's "upsert" kind — e.g. doc_events) applied per
+    micro-batch after the base/enrich pair, same order contract as the
+    batch job's epoch body."""
     reader = (spark.readStream.schema(CHANGE_EVENTS))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     events = reader.parquet(events_path)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.merge import merge_upsert_generic
+
         apply_change_batch(batch_df.sparkSession, target, batch_df,
                            salt_buckets=salt_buckets, mor=mor)
+        for spec, tbl in (extra_datasets or []):
+            batch = spec.dedup(spec.project(batch_df))
+            merge_upsert_generic(batch_df.sparkSession, tbl, batch,
+                                 spec.key_col, mor=mor)
 
     return (events.writeStream
             .foreachBatch(sink)

@@ -136,6 +136,54 @@ def test_doc_events_table_independent_of_main_target(spark, events_path,
     assert a == b
 
 
+def test_doc_events_schema_evolution_through_generic_merge(spark,
+                                                           events_path,
+                                                           tmp_path):
+    """Evolve the doc_events table mid-replay: the generic merge must
+    pass evolved columns through (they're absent from the projector's
+    batch), old files stay readable null-filled, and a rename maps by
+    field id."""
+    from pyspark.sql import types as T
+    wh = str(tmp_path / "wh")
+    job = IngestJob(spark, JobConfig(
+        events_path=events_path, warehouse=wh, num_buckets=8,
+        epoch_size=40, datasets=("tokens", "ttl", "doc_events")))
+    rng, epochs = job.plan(start=2, end=0, backfill=True)
+    mid = len(epochs) // 2
+    for lo, hi in epochs[:mid]:
+        job.apply_epoch(lo, hi)
+    t = job.extra_tables["doc_events"]
+    t.alter_add_column("severity", T.LongType())
+    for lo, hi in epochs[mid:]:
+        job.apply_epoch(lo, hi)
+    _assert_matches_oracle(spark, job, events_path)
+    rows = t.read(spark).collect()
+    assert all(r["severity"] is None for r in rows)  # never populated
+    t.alter_rename_column("severity", "level")
+    assert "level" in t.read(spark).columns
+
+
+def test_doc_events_streaming_replay(spark, events_path, tmp_path):
+    """The streaming tail applies registered upsert datasets per
+    micro-batch (same order contract as the batch epoch body) and
+    converges to the same oracle state."""
+    from stellar_ledger_data_indexer_spark.streaming.stream_job import (
+        stream_replay)
+    wh = str(tmp_path / "wh")
+    job = IngestJob(spark, JobConfig(
+        events_path=events_path, warehouse=wh, num_buckets=8,
+        epoch_size=40, datasets=("tokens", "ttl", "doc_events")))
+    q = stream_replay(
+        spark, events_path, job.target,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        mor=True,
+        extra_datasets=[(s, job.extra_tables[s.name])
+                        for s in job.datasets if s.kind == "upsert"])
+    q.awaitTermination()
+    _assert_matches_oracle(spark, job, events_path)
+
+
 def test_project_events_unit(spark):
     """TOID packing + topics decode golden row (≙ the transform golden
     tests, internal/transform/contract_data_test.go:13-163)."""
