@@ -173,17 +173,29 @@ def cmd_inspect(args: argparse.Namespace) -> int:
                         tips.append(st.max)
         source_tip = max(tips, default=None)
     epochs = sorted(mx.read_latest(), key=lambda m: m["epoch_id"])
+
+    def table_state(tbl: LakeTable) -> dict:
+        return {
+            "snapshot": tbl.version,
+            "schema_version": tbl.manifest["schema_version"],
+            "physical_rows": sum(f.rows for f in tbl.files),  # base+deltas
+            "bytes": tbl.table_bytes(),
+            "files": len(tbl.files),
+            "delta_depth": tbl.delta_depth(),
+            "snapshots": len(tbl.snapshots()),
+            "orphan_files": len(tbl.orphan_files()),
+        }
+
+    # every registered-dataset table in the warehouse (doc_events etc.),
+    # discovered by layout — data tables only, control tables excluded
+    extra_tables = {
+        n: table_state(LakeTable(os.path.join(args.warehouse, n)))
+        for n in sorted(os.listdir(args.warehouse))
+        if n != "documents" and not n.startswith("_")
+        and LakeTable.exists(os.path.join(args.warehouse, n))}
     print(json.dumps({
-        "target": {
-            "snapshot": t.version,
-            "schema_version": t.manifest["schema_version"],
-            "physical_rows": sum(f.rows for f in t.files),  # base+deltas
-            "bytes": t.table_bytes(),
-            "files": len(t.files),
-            "delta_depth": t.delta_depth(),
-            "snapshots": len(t.snapshots()),
-            "orphan_files": len(t.orphan_files()),
-        },
+        "target": table_state(t),
+        "tables": extra_tables,
         "gauges": {
             # ≙ max_ledger_sequence_indexed / _in_galexie gauges
             "max_committed_hi": cp.max_committed_hi(None),

@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .operators.dedup import dedup_lww
-from .schema import DOC_EVENTS, ENTRY_EVENTS, TOPICS_TYPE
+from .schema import (DOC_BLOBS, DOC_EVENTS, ENTRY_CODE, ENTRY_EVENTS,
+                     TOPICS_TYPE)
 
 
 def project_events(events: DataFrame) -> DataFrame:
@@ -70,6 +71,32 @@ def dedup_events(batch: DataFrame) -> DataFrame:
     return dedup_lww(batch, key_cols=("event_id",), order_cols=("seq", "pos"))
 
 
+def project_blobs(events: DataFrame) -> DataFrame:
+    """Contract-code-analog projection (≙ the unwired contract_code
+    dataset, internal/contract/contract_code.go:35): binary payloads
+    keyed by their OWN content hash — the key is hex(sha256(blob)),
+    computed JVM-side (≙ the reference hashing serialized entries for
+    row identity, internal/contract/utils.go:37-43). Duplicate payloads
+    across the stream collapse onto one content-addressed row."""
+    from .operators.cdc import filter_entry_type, filter_nonce
+
+    e = filter_nonce(filter_entry_type(events, ENTRY_CODE))
+    return e.select(
+        F.sha2(F.col("blob"), 256).alias("code_hash"),
+        "blob",
+        F.length(F.col("blob")).cast("int").alias("n_bytes"),
+        "doc_id",
+        "seq",
+        "pos",
+        "closed_at",
+    )
+
+
+def dedup_blobs(batch: DataFrame) -> DataFrame:
+    return dedup_lww(batch, key_cols=("code_hash",),
+                     order_cols=("seq", "pos"))
+
+
 @dataclass(frozen=True)
 class DatasetSpec:
     """One registered dataset (≙ a processor+adapter pair in the
@@ -100,9 +127,14 @@ DOC_EVENTS_SPEC = DatasetSpec(
     name="doc_events", entry_type=ENTRY_EVENTS, kind="upsert",
     table="doc_events", key_col="event_id", schema=DOC_EVENTS,
     project=project_events, dedup=dedup_events)
+DOC_BLOBS_SPEC = DatasetSpec(
+    name="doc_blobs", entry_type=ENTRY_CODE, kind="upsert",
+    table="doc_blobs", key_col="code_hash", schema=DOC_BLOBS,
+    project=project_blobs, dedup=dedup_blobs)
 
 REGISTRY: dict[str, DatasetSpec] = {
-    s.name: s for s in (TOKENS_SPEC, TTL_SPEC, DOC_EVENTS_SPEC)
+    s.name: s for s in (TOKENS_SPEC, TTL_SPEC, DOC_EVENTS_SPEC,
+                        DOC_BLOBS_SPEC)
 }
 
 # the reference's default wiring (order matters: base before enrich,

@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 ENTRY_TOKENS = "tokens"
 ENTRY_TTL = "ttl"
 ENTRY_EVENTS = "events"
+ENTRY_CODE = "code"
 
 OP_INSERT = "insert"
 OP_UPDATE = "update"
@@ -55,6 +56,24 @@ CHANGE_EVENTS = T.StructType([
     # JVM-side with from_json)
     T.StructField("tx_idx", T.LongType(), True),
     T.StructField("topics_json", T.StringType(), True),
+    # code entries only (≙ the raw contract code blob,
+    # internal/contract/contract_code.go:35 — the reference's other
+    # present-but-unwired dataset)
+    T.StructField("blob", T.BinaryType(), True),
+])
+
+# the contract-code-analog output table: binary payloads keyed by their
+# OWN content hash (≙ contract_code keyed by code hash,
+# internal/contract/contract_code.go:35) — the content-addressed shape a
+# training pipeline uses for artifact/blob stores
+DOC_BLOBS = T.StructType([
+    T.StructField("code_hash", T.StringType(), False),  # hex(sha256(blob))
+    T.StructField("blob", T.BinaryType(), True),
+    T.StructField("n_bytes", T.IntegerType(), True),
+    T.StructField("doc_id", T.StringType(), True),      # owner/entity key
+    T.StructField("seq", T.LongType(), False),
+    T.StructField("pos", T.LongType(), True),
+    T.StructField("closed_at", T.TimestampType(), True),
 ])
 
 # the contract-events-analog output table: immutable per-event rows keyed

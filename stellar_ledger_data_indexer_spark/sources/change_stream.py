@@ -65,9 +65,11 @@ class StreamSpec:
     delete_pct: int = 5
     insert_pct: int = 40          # rest are updates
     nonce_permille: int = 10      # ~1% empty doc_id
-    # opt-in third dataset (contract-events analog): 0 keeps the stream
-    # byte-identical to the r1/r2 fixtures (golden literals pinned on it)
+    # opt-in third/fourth datasets (contract-events / contract-code
+    # analogs): 0 keeps the stream byte-identical to the r1/r2 fixtures
+    # (golden literals pinned on it)
     events_permille: int = 0
+    code_permille: int = 0
     tok_len_min: int = 1
     tok_len_max: int = 64
     vocab: int = 50257
@@ -98,15 +100,19 @@ def _gen_batch(ids: np.ndarray, s: StreamSpec) -> pa.RecordBatch:
     # independent hash stream and take precedence over the ttl draw
     h_evt = _h(u, s.seed, 9)
     is_evt = (h_evt % np.uint64(1000)) < np.uint64(s.events_permille)
-    is_ttl = is_ttl & ~is_evt
+    h_code = _h(u, s.seed, 10)
+    is_code = ((h_code % np.uint64(1000)) < np.uint64(s.code_permille)) \
+        & ~is_evt
+    is_ttl = is_ttl & ~is_evt & ~is_code
     opd = (h_op % np.uint64(100)).astype(np.int64)
     op = np.where(opd < s.delete_pct, "delete",
                   np.where(opd < s.delete_pct + s.insert_pct, "insert",
                            "update"))
     op = np.where(is_ttl, "update", op)
-    op = np.where(is_evt, "insert", op)   # events are immutable appends
+    op = np.where(is_evt | is_code, "insert", op)  # immutable appends
     entry_type = np.where(is_ttl, "ttl", "tokens")
     entry_type = np.where(is_evt, "events", entry_type)
+    entry_type = np.where(is_code, "code", entry_type)
 
     # seqs start at 2: seq<=1 is the planner's unbounded-tail sentinel
     # (≙ ledger 1 being the network genesis in the reference domain)
@@ -137,8 +143,23 @@ def _gen_batch(ids: np.ndarray, s: StreamSpec) -> pa.RecordBatch:
                    k_name.astype(object) + '":"' + v_str.astype(object)
                    + '"}]}')
 
-    # token arrays: null for deletes / ttl / events / nonce rows
-    has_tokens = (~is_ttl) & (~is_evt) & (op != "delete") & (~nonce)
+    # code payload: deterministic variable-length bytes. A small hash
+    # pool makes duplicate blobs arise naturally across rows — the
+    # content-addressed key (sha256) then collapses them in the
+    # doc_blobs table, exercising LWW on a key that is a pure function
+    # of the payload.
+    blob_seed = (h_code >> np.uint64(20)) % np.uint64(64)
+    b0 = _h(blob_seed, s.seed, 11)
+    b1 = _h(blob_seed, s.seed, 12)
+    reps = (np.uint64(1) + (h_code >> np.uint64(26)) % np.uint64(3)) \
+        .astype(np.int64)
+    blob_strs = np.char.add(np.char.mod("%016x", b0.astype("uint64")),
+                            np.char.mod("%016x", b1.astype("uint64")))
+    blobs = np.char.encode(np.char.multiply(blob_strs, reps), "ascii")
+
+    # token arrays: null for deletes / ttl / events / code / nonce rows
+    has_tokens = (~is_ttl) & (~is_evt) & (~is_code) & (op != "delete") \
+        & (~nonce)
     span = max(s.tok_len_max - s.tok_len_min + 1, 1)
     lens = (np.uint64(s.tok_len_min) + h_len % np.uint64(span)).astype(np.int64)
     lens = np.where(has_tokens, lens, 0)
@@ -167,10 +188,11 @@ def _gen_batch(ids: np.ndarray, s: StreamSpec) -> pa.RecordBatch:
          pa.array(BASE_TS + seq),
          pa.array(live_until, mask=~live_mask),
          pa.array(tx_idx, mask=~is_evt),
-         pa.array(topics_json, mask=~is_evt)],
+         pa.array(topics_json, mask=~is_evt),
+         pa.array(blobs, type=pa.binary(), mask=~is_code)],
         names=["seq", "pos", "op", "doc_id", "tokens", "source",
                "entry_type", "closed_at_s", "live_until", "tx_idx",
-               "topics_json"])
+               "topics_json", "blob"])
 
 
 def synthesize_change_events(spark: SparkSession, spec: StreamSpec,
@@ -182,7 +204,7 @@ def synthesize_change_events(spark: SparkSession, spec: StreamSpec,
     out_schema = ("seq long, pos long, op string, doc_id string, "
                   "tokens array<int>, source string, entry_type string, "
                   "closed_at_s long, live_until long, tx_idx long, "
-                  "topics_json string")
+                  "topics_json string, blob binary")
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:

@@ -111,6 +111,26 @@ def replay_events_oracle(events: Iterable[dict[str, Any]]) \
     return state
 
 
+def replay_blobs_oracle(events: Iterable[dict[str, Any]]) \
+        -> dict[str, dict[str, Any]]:
+    """Reference model for the doc_blobs dataset (contract-code analog,
+    internal/contract/contract_code.go:35): content-addressed rows keyed
+    by hex(sha256(blob)), LWW on (seq, pos)."""
+    import hashlib
+
+    state: dict[str, dict[str, Any]] = {}
+    for ev in sorted((e for e in events if e["entry_type"] == "code"
+                      and e["doc_id"]),
+                     key=lambda e: (e["seq"], e["pos"])):
+        blob = ev["blob"]
+        h = hashlib.sha256(blob).hexdigest()
+        state[h] = {"code_hash": h, "blob": bytes(blob),
+                    "n_bytes": len(blob), "doc_id": ev["doc_id"],
+                    "seq": ev["seq"], "pos": ev["pos"],
+                    "closed_at": ev["closed_at"]}
+    return state
+
+
 def rows_to_events(rows) -> list[dict[str, Any]]:
     """Spark Row / pyarrow dicts → plain event dicts."""
     out = []

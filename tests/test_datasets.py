@@ -16,7 +16,8 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from oracle import replay_events_oracle, rows_to_events  # noqa: E402
+from oracle import (replay_blobs_oracle, replay_events_oracle,  # noqa: E402
+                    rows_to_events)
 
 from stellar_ledger_data_indexer_spark.datasets import (  # noqa: E402
     DOC_EVENTS_SPEC, REGISTRY, resolve)
@@ -25,7 +26,7 @@ from stellar_ledger_data_indexer_spark.sources.change_stream import (  # noqa: E
     StreamSpec, read_change_events, write_change_events)
 
 SPEC = StreamSpec(n_events=12_000, n_docs=300, events_per_seq=100,
-                  events_permille=150)
+                  events_permille=150, code_permille=80)
 
 
 @pytest.fixture(scope="module")
@@ -45,7 +46,7 @@ def test_registry_resolve_validates():
         resolve(("ttl",))
     with pytest.raises(ValueError, match="must come after"):
         resolve(("ttl", "tokens"))
-    assert set(REGISTRY) == {"tokens", "ttl", "doc_events"}
+    assert set(REGISTRY) == {"tokens", "ttl", "doc_events", "doc_blobs"}
 
 
 def test_generator_emits_events_entries(spark, events_path):
@@ -163,6 +164,37 @@ def test_doc_events_schema_evolution_through_generic_merge(spark,
     assert "level" in t.read(spark).columns
 
 
+def test_doc_blobs_golden_replay(spark, events_path, tmp_path):
+    """Fourth dataset (contract-code analog): binary payloads through
+    the generic LWW merge, keyed by their own sha256 — duplicate blobs
+    across the stream collapse onto one content-addressed row; final
+    state byte-equal to the dict oracle."""
+    job = IngestJob(spark, JobConfig(
+        events_path=events_path, warehouse=str(tmp_path / "wh"),
+        num_buckets=8, epoch_size=40,
+        datasets=("tokens", "ttl", "doc_events", "doc_blobs")))
+    job.run(start=2, end=0, backfill=True)
+    oracle = replay_blobs_oracle(rows_to_events(
+        read_change_events(spark, events_path).collect()))
+    rows = job.extra_tables["doc_blobs"].read(spark).collect()
+    engine = {r["code_hash"]: r.asDict() for r in rows}
+    assert set(engine) == set(oracle) and len(oracle) > 0
+    # content-addressing exercised: more code events than distinct blobs
+    n_code = read_change_events(spark, events_path) \
+        .filter("entry_type = 'code' AND doc_id != ''").count()
+    assert n_code > len(oracle)
+    for h, o in oracle.items():
+        e = engine[h]
+        assert bytes(e["blob"]) == o["blob"]
+        assert e["n_bytes"] == o["n_bytes"]
+        assert (e["doc_id"], e["seq"], e["pos"]) == \
+            (o["doc_id"], o["seq"], o["pos"])
+    # the key really is the content hash (engine-side sha2 == hashlib)
+    import hashlib
+    assert all(hashlib.sha256(bytes(e["blob"])).hexdigest() == h
+               for h, e in engine.items())
+
+
 def test_doc_events_streaming_replay(spark, events_path, tmp_path):
     """The streaming tail applies registered upsert datasets per
     micro-batch (same order contract as the batch epoch body) and
@@ -193,10 +225,11 @@ def test_project_events_unit(spark):
     ts = datetime(2024, 5, 1, tzinfo=timezone.utc)
     rows = [
         (7, 0, "insert", "docX", None, "src", "events", ts, None, 3,
-         '{"t1":[{"k0":"42"}]}'),
-        (7, 1, "insert", "", None, "src", "events", ts, None, 4, "{}"),
-        (7, 2, "insert", "docY", [1], "src", "tokens", ts, None, None,
+         '{"t1":[{"k0":"42"}]}', None),
+        (7, 1, "insert", "", None, "src", "events", ts, None, 4, "{}",
          None),
+        (7, 2, "insert", "docY", [1], "src", "tokens", ts, None, None,
+         None, None),
     ]
     df = spark.createDataFrame(rows, CHANGE_EVENTS)
     out = {r["event_id"]: r.asDict(recursive=True)

@@ -20,9 +20,10 @@ TS = datetime(2023, 11, 14, 22, 13, 20, tzinfo=timezone.utc)
 
 
 def ev(seq, pos, op="insert", doc="docA", tokens=(1, 2, 3), source="src01",
-       entry_type="tokens", live_until=None, tx_idx=None, topics_json=None):
+       entry_type="tokens", live_until=None, tx_idx=None, topics_json=None,
+       blob=None):
     return (seq, pos, op, doc, list(tokens) if tokens is not None else None,
-            source, entry_type, TS, live_until, tx_idx, topics_json)
+            source, entry_type, TS, live_until, tx_idx, topics_json, blob)
 
 
 def events_df(spark, rows):

@@ -58,11 +58,11 @@ def test_random_stream_any_slicing_matches_oracle(spark, tmp_path_factory,
         p = pos[seq] = pos.get(seq, -1) + 1
         rows.append((seq, p, op, doc,
                      None if op == "delete" else toks, "src", "tokens",
-                     TS, None, None, None))
+                     TS, None, None, None, None))
     for seq, doc, lu in ttls:
         p = pos[seq] = pos.get(seq, -1) + 1
         rows.append((seq, p, "update", doc, None, "src", "ttl", TS, lu,
-                     None, None))
+                     None, None, None))
 
     work = tmp_path_factory.mktemp("prop")
     events_path = str(work / "events")
