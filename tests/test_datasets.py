@@ -216,6 +216,82 @@ def test_doc_events_streaming_replay(spark, events_path, tmp_path):
     _assert_matches_oracle(spark, job, events_path)
 
 
+def test_sigkill_resume_converges_all_datasets(spark, events_path,
+                                               tmp_path):
+    """SIGKILL a four-dataset replay mid-run through the real CLI, then
+    resume: every table (documents + doc_events + doc_blobs) must
+    converge to the clean-run state — the exactly-once contract extended
+    to registered datasets (they share the epoch marker)."""
+    import signal
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    main = os.path.join(repo, "main.py")
+    base = ["append", "--events-path", events_path, "--start", "2",
+            "--end", "0", "--epoch-size", "10", "--num-buckets", "8",
+            "--datasets", "tokens,ttl,doc_events,doc_blobs",
+            "--master", "local[4]"]
+    wh_clean, wh_crash = str(tmp_path / "clean"), str(tmp_path / "crash")
+
+    r = subprocess.run([sys.executable, main] + base
+                       + ["--warehouse", wh_clean],
+                       cwd=repo, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    p = subprocess.Popen([sys.executable, main] + base
+                         + ["--warehouse", wh_crash],
+                         cwd=repo, stdout=subprocess.PIPE, text=True)
+    seen = 0
+    for line in p.stdout:
+        if line.startswith('{"epoch"'):
+            seen += 1
+            if seen == 2:
+                os.kill(p.pid, signal.SIGKILL)
+                break
+    p.wait(timeout=120)
+    assert p.returncode != 0
+    r2 = subprocess.run([sys.executable, main] + base
+                        + ["--warehouse", wh_crash],
+                        cwd=repo, capture_output=True, text=True,
+                        timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+
+    def fp(wh, table, key):
+        rows = LakeTable(os.path.join(wh, table)).read(spark).collect()
+        return sorted((r[key], r["seq"], r["pos"]) for r in rows)
+
+    for table, key in (("documents", "doc_id"), ("doc_events", "event_id"),
+                       ("doc_blobs", "code_hash")):
+        assert fp(wh_crash, table, key) == fp(wh_clean, table, key), table
+
+
+def test_property_random_slicing_all_datasets(spark, events_path,
+                                              tmp_path):
+    """Every epoch size must converge every dataset to the same oracle
+    state (slicing invariance over the full registry) — the dict-oracle
+    form of 'final state is a pure function of the stream'."""
+    events = rows_to_events(read_change_events(spark, events_path).collect())
+    ev_oracle = replay_events_oracle(events)
+    blob_oracle = replay_blobs_oracle(events)
+    for epoch_size in (13, 57):
+        job = IngestJob(spark, JobConfig(
+            events_path=events_path,
+            warehouse=str(tmp_path / f"wh{epoch_size}"),
+            num_buckets=8, epoch_size=epoch_size,
+            datasets=("tokens", "ttl", "doc_events", "doc_blobs")))
+        job.run(start=2, end=0, backfill=True)
+        engine_ev = _events_state(spark, job)
+        assert set(engine_ev) == set(ev_oracle)
+        rows = job.extra_tables["doc_blobs"].read(spark).collect()
+        engine_blob = {r["code_hash"]: r for r in rows}
+        assert set(engine_blob) == set(blob_oracle)
+        for h, o in blob_oracle.items():
+            assert bytes(engine_blob[h]["blob"]) == o["blob"]
+
+
 def test_project_events_unit(spark):
     """TOID packing + topics decode golden row (≙ the transform golden
     tests, internal/transform/contract_data_test.go:13-163)."""
