@@ -149,8 +149,17 @@ def cmd_inspect(args: argparse.Namespace) -> int:
                           args.warehouse}), file=sys.stderr)
         return 2
     t = LakeTable(tpath)
-    cp = CheckpointLog(os.path.join(args.warehouse, "_checkpoints"))
-    mx = MetricsLog(os.path.join(args.warehouse, "_metrics"))
+    # inspect is an observer — it must never write to the warehouse it
+    # reads: evolve=False suppresses the auto-evolution commit (an
+    # r2-era _metrics would otherwise gain bytes_written as a side
+    # effect of a monitoring command, racing any live writer), and
+    # missing control tables are reported as empty rather than created
+    cp_path = os.path.join(args.warehouse, "_checkpoints")
+    mx_path = os.path.join(args.warehouse, "_metrics")
+    cp = (CheckpointLog(cp_path, evolve=False)
+          if LakeTable.exists(cp_path) else None)
+    mx = (MetricsLog(mx_path, evolve=False)
+          if LakeTable.exists(mx_path) else None)
     live = None
     gpath = os.path.join(args.warehouse, "_gauges.json")
     if os.path.exists(gpath):
@@ -172,7 +181,8 @@ def cmd_inspect(args: argparse.Namespace) -> int:
                     if st is not None and st.has_min_max:
                         tips.append(st.max)
         source_tip = max(tips, default=None)
-    epochs = sorted(mx.read_latest(), key=lambda m: m["epoch_id"])
+    epochs = sorted(mx.read_latest() if mx else [],
+                    key=lambda m: m["epoch_id"])
 
     def table_state(tbl: LakeTable) -> dict:
         return {
@@ -198,18 +208,23 @@ def cmd_inspect(args: argparse.Namespace) -> int:
         "tables": extra_tables,
         "gauges": {
             # ≙ max_ledger_sequence_indexed / _in_galexie gauges
-            "max_committed_hi": cp.max_committed_hi(None),
+            "max_committed_hi": cp.max_committed_hi(None) if cp else 0,
             "max_seq_in_source": source_tip,
         },
         # the poll-while-running surface (written atomically by the job
         # twice per epoch — see IngestJob._write_gauges)
         "live": live,
+        # last N epochs by id — an epoch writes one metrics row per
+        # REGISTERED dataset (2 for tokens+ttl, more with doc_events/
+        # doc_blobs), so slice by distinct epoch_id, not row count
         "last_epochs": [
             {"epoch_id": m["epoch_id"], "dataset": m["dataset"],
              "rows_updated": m["rows_updated"],
              "wall_secs": m["wall_secs"],
              "bytes_written": m["bytes_written"]}
-            for m in epochs[-args.last_epochs * 2:]],
+            for m in epochs
+            if m["epoch_id"] in sorted({m2["epoch_id"] for m2 in epochs}
+                                       )[-args.last_epochs:]],
     }))
     return 0
 
@@ -398,7 +413,9 @@ def cmd_stream(args: argparse.Namespace) -> int:
             max_files_per_trigger=args.max_files_per_trigger,
             mor=(args.write_mode == "mor"),
             extra_datasets=[(s, job.extra_tables[s.name])
-                            for s in job.datasets if s.kind == "upsert"])
+                            for s in job.datasets if s.kind == "upsert"],
+            enrich=any(s.kind == "enrich" for s in job.datasets),
+            compact_every=args.compact_every)
         q.awaitTermination()
         n = job.target.read(spark).count()
         print(json.dumps({"status": "done", "mode": "stream",

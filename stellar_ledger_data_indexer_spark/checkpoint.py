@@ -41,22 +41,19 @@ from .lake.table import LakeTable
 from .schema import CHECKPOINTS, LINEAGE, METRICS
 
 
-def _open_control(path: str, schema) -> LakeTable:
-    """Open-or-create a control table, auto-evolving a pre-existing one
-    to the current code-level schema (≙ migrations at session open,
-    internal/db/utils.go:47-55) — e.g. a _metrics table from before the
-    bytes_written column gains it here instead of silently dropping the
-    value at append time."""
-    if LakeTable.exists(path):
-        t = LakeTable(path)
-        t.ensure_columns(schema)
-        return t
-    return LakeTable.create(path, schema)
-
-
 class CheckpointLog:
-    def __init__(self, path: str):
-        self.table = _open_control(path, CHECKPOINTS)
+    """``evolve=False`` opens read-only-safely (no auto-evolution
+    commit) — the inspect verb must never write to the warehouse it
+    observes. ``existed`` records whether the table was already on disk
+    at open: the resume bootstrap uses it to distinguish "checkpoint
+    table genuinely lost" (→ sink-max fallback) from "fresh table whose
+    first marker hasn't landed yet" (→ replay from the start; falling
+    back to sink max there would permanently skip a first epoch whose
+    merges committed but whose marker didn't)."""
+
+    def __init__(self, path: str, evolve: bool = True):
+        self.table, self.existed = LakeTable.open_or_create(
+            path, CHECKPOINTS, evolve=evolve)
 
     def committed_epochs(self, spark: SparkSession | None = None) -> set[int]:
         self.table.refresh()
@@ -95,8 +92,9 @@ def _latest_by_key(rows: list[dict], key_cols: tuple[str, ...]) -> list[dict]:
 
 
 class LineageLog:
-    def __init__(self, path: str):
-        self.table = _open_control(path, LINEAGE)
+    def __init__(self, path: str, evolve: bool = True):
+        self.table, self.existed = LakeTable.open_or_create(
+            path, LINEAGE, evolve=evolve)
 
     def read_latest(self) -> list[dict]:
         """One row per (epoch_id, bucket) — crash-replay duplicates folded."""
@@ -106,21 +104,25 @@ class LineageLog:
     def record_from_manifest(self, spark: SparkSession | None, epoch_id: int,
                              target: LakeTable, buckets: list[int],
                              rows_in_by_bucket: dict[int, int] | None = None,
-                             commit_version: int | None = None) -> None:
+                             commit_versions: set[int] | None = None) -> None:
         """Per-partition lineage from the freshly committed manifest:
-        ``rows_out`` = rows the epoch's merge commit wrote per bucket —
+        ``rows_out`` = rows the epoch's merge commits wrote per bucket —
         under copy-on-write that IS the bucket's logical row count (the
         commit rewrote it in full); under merge-on-read it is the epoch's
         resolved delta rows (counting ALL physical files would inflate
         the figure with rows shadowed by newer commits — ADVICE r2).
-        ``commit_version`` scopes the count to that snapshot's files;
-        None keeps the legacy all-physical-files behavior."""
+        ``commit_versions`` scopes the count to those snapshots' files —
+        a SET because an unfused CoW epoch commits twice (base then
+        enrich) and the enrich rewrite REPLACES the base commit's files
+        in its buckets, so scoping to the base version alone would
+        record 0 for enriched buckets. None keeps the legacy
+        all-physical-files behavior."""
         if not buckets:
             return
         counts: dict[int, int] = {b: 0 for b in buckets}
         for f in target.refresh().files:
-            if f.bucket in counts and (commit_version is None
-                                       or f.commit_seq == commit_version):
+            if f.bucket in counts and (commit_versions is None
+                                       or f.commit_seq in commit_versions):
                 counts[f.bucket] += f.rows
         self.table.append_rows(
             [(epoch_id, b, (rows_in_by_bucket or {}).get(b), counts[b])
@@ -128,8 +130,9 @@ class LineageLog:
 
 
 class MetricsLog:
-    def __init__(self, path: str):
-        self.table = _open_control(path, METRICS)
+    def __init__(self, path: str, evolve: bool = True):
+        self.table, self.existed = LakeTable.open_or_create(
+            path, METRICS, evolve=evolve)
 
     def read_latest(self) -> list[dict]:
         """One row per (epoch_id, dataset) — crash-replay duplicates folded."""

@@ -150,6 +150,9 @@ def resolve(names: tuple[str, ...] | list[str]) -> list[DatasetSpec]:
     if unknown:
         raise ValueError(f"unknown datasets {unknown}; "
                          f"registered: {sorted(REGISTRY)}")
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate datasets in {list(names)} — each "
+                         f"would merge (and pay a commit) twice per epoch")
     if "tokens" not in names:
         raise ValueError("the 'tokens' base dataset is mandatory")
     if "ttl" in names and list(names).index("ttl") < list(names).index("tokens"):

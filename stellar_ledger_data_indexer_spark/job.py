@@ -125,22 +125,17 @@ class IngestJob:
         self.cfg = cfg
         wh = cfg.warehouse
         tpath = os.path.join(wh, "documents")
-        if LakeTable.exists(tpath):
-            self.target = LakeTable(tpath)
-            # auto-evolve targets created before code-level schema
-            # additions (e.g. the r2 `pos` LWW tie-break column): the
-            # merge references every TARGET column, and read() null-fills
-            # old files once the schema knows it (≙ embedded migrations
-            # at session open, internal/db/utils.go:47-55). live_until is
-            # deliberately excluded — tests/the golden suite create
-            # enrichment-less targets on purpose (pre-20260203 parity).
-            pre_ttl = T.StructType(
-                [f for f in TARGET.fields if f.name != "live_until"])
-            self.target.ensure_columns(pre_ttl)
-        else:
-            self.target = LakeTable.create(tpath, TARGET,
-                                           bucket_col="doc_id",
-                                           num_buckets=cfg.num_buckets)
+        # auto-evolution on open ≙ embedded migrations at session open
+        # (internal/db/utils.go:47-55): targets created before code-level
+        # schema additions (e.g. the r2 `pos` LWW tie-break column) gain
+        # the column here; read() null-fills old files. live_until is
+        # deliberately excluded — tests/the golden suite create
+        # enrichment-less targets on purpose (pre-20260203 parity).
+        pre_ttl = T.StructType(
+            [f for f in TARGET.fields if f.name != "live_until"])
+        self.target, existed = LakeTable.open_or_create(
+            tpath, pre_ttl if LakeTable.exists(tpath) else TARGET,
+            bucket_col="doc_id", num_buckets=cfg.num_buckets)
         # registered datasets in dependency order (≙ the ordered
         # processor list, internal/main.go:127-144); each "upsert"
         # dataset owns an independent bucketed table in the warehouse
@@ -149,15 +144,9 @@ class IngestJob:
         for spec in self.datasets:
             if spec.kind != "upsert":
                 continue
-            p = os.path.join(wh, spec.table)
-            if LakeTable.exists(p):
-                tbl = LakeTable(p)
-                tbl.ensure_columns(spec.schema)
-            else:
-                tbl = LakeTable.create(p, spec.schema,
-                                       bucket_col=spec.key_col,
-                                       num_buckets=cfg.num_buckets)
-            self.extra_tables[spec.name] = tbl
+            self.extra_tables[spec.name], _ = LakeTable.open_or_create(
+                os.path.join(wh, spec.table), spec.schema,
+                bucket_col=spec.key_col, num_buckets=cfg.num_buckets)
         self.checkpoints = CheckpointLog(os.path.join(wh, "_checkpoints"))
         self.lineage = LineageLog(os.path.join(wh, "_lineage"))
         self.metrics = MetricsLog(os.path.join(wh, "_metrics"))
@@ -250,22 +239,29 @@ class IngestJob:
         """Checkpoint table is authoritative; the sink max is the
         reference-parity fallback (≙ SELECT MAX(ledger_sequence),
         internal/db/utils.go:61-71) used ONLY when the checkpoint table
-        is genuinely missing/empty (e.g. _checkpoints lost while the
+        was genuinely MISSING at open (lost control tables while the
         target survives): then resume starts past the data the sink
         provably holds instead of silently re-basing to 0 (which, on an
         unbounded run, would jump to the source tip and skip the gap).
 
-        With ANY committed checkpoint present, the sink max must NOT be
-        folded in: a crash between a merge commit and its marker leaves
-        sink max = hi with no marker, and max(cp, sink) would then SKIP
-        the epoch's replay — permanently dropping its enrichment (on the
-        two-commit path), metrics, and lineage rows. The marker-absent
-        epoch must re-run; the LWW merge makes the re-application a no-op
-        (ADVICE r2, job.py:183)."""
+        Two cases that must NOT use the sink max:
+        - ANY committed marker present: a crash between a merge commit
+          and its marker leaves sink max = hi with no marker; max(cp,
+          sink) would SKIP that epoch's replay — permanently dropping
+          its enrichment (two-commit path), registered-dataset merges,
+          metrics, and lineage rows (ADVICE r2, job.py:183).
+        - checkpoint table EXISTS but is empty: that is the fresh-run
+          bootstrap whose FIRST epoch may have merged without its marker
+          landing — same hole, first epoch. The table is created at job
+          open, strictly before any merge, so "existed at open + empty"
+          can only mean markerless committed work; replay it (LWW makes
+          the target re-application a no-op). Only "directory absent at
+          open" means the control tables were actually lost.
+        """
         cp = self.checkpoints.max_committed_hi(self.spark)
         if cp > 0:
             return cp
-        if not self.target.refresh().files:
+        if self.checkpoints.existed or not self.target.refresh().files:
             return 0
         return max(self.max_seq_in_sink(), 0)
 
@@ -316,7 +312,8 @@ class IngestJob:
                             base_wall, bytes_written=mres.bytes_written)
         self.lineage.record_from_manifest(self.spark, epoch_id, self.target,
                                           mres.buckets,
-                                          commit_version=mres.version)
+                                          commit_versions={mres.version,
+                                                           eres.version})
         self.metrics.record(self.spark, epoch_id, "ttl", None, None, None,
                             None, eres.updated, ttl_wall,
                             bytes_written=eres.bytes_written)

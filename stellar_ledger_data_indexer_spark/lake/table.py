@@ -163,6 +163,24 @@ class LakeTable:
         return LakeTable(path)
 
     @staticmethod
+    def open_or_create(path: str, schema: T.StructType,
+                       bucket_col: str | None = None, num_buckets: int = 0,
+                       evolve: bool = True) -> tuple["LakeTable", bool]:
+        """Open ``path`` if it exists (optionally auto-evolving it to
+        carry every column of ``schema`` — the migrations-at-session-open
+        analog), else create it. Returns (table, existed): callers that
+        need to distinguish a genuinely missing table from an existing
+        one (e.g. the resume bootstrap) read the flag instead of racing a
+        second exists() check."""
+        if LakeTable.exists(path):
+            t = LakeTable(path)
+            if evolve:
+                t.ensure_columns(schema)
+            return t, True
+        return LakeTable.create(path, schema, bucket_col=bucket_col,
+                                num_buckets=num_buckets), False
+
+    @staticmethod
     def exists(path: str) -> bool:
         meta = os.path.join(os.path.abspath(path), META_DIR)
         return os.path.isdir(meta) and any(

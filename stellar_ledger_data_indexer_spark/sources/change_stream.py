@@ -132,30 +132,43 @@ def _gen_batch(ids: np.ndarray, s: StreamSpec) -> pa.RecordBatch:
     # contract_events.go:137-170). Deterministic pure function of the
     # event hash; duplicate TOIDs within a seq arise naturally from the
     # tx_idx draw (dedup regression surface for the events dataset).
-    tx_idx = (h_evt % np.uint64(4096)).astype(np.int64)
-    t_name = np.char.mod("t%d", ((h_evt >> np.uint64(12)) % np.uint64(3))
-                         .astype(np.int64))
-    k_name = np.char.mod("k%d", ((h_evt >> np.uint64(14)) % np.uint64(5))
-                         .astype(np.int64))
-    v_str = np.char.mod("%d", ((h_evt >> np.uint64(17)) % np.uint64(100000))
-                        .astype(np.int64))
-    topics_json = ('{"' + t_name.astype(object) + '":[{"' +
-                   k_name.astype(object) + '":"' + v_str.astype(object)
-                   + '"}]}')
+    # Guarded: the default spec carries no events/code rows, and the
+    # numpy object-string ops below are the slowest thing in this
+    # function — don't pay them to build fully-masked arrays.
+    if is_evt.any():
+        tx_idx = (h_evt % np.uint64(4096)).astype(np.int64)
+        t_name = np.char.mod("t%d", ((h_evt >> np.uint64(12)) % np.uint64(3))
+                             .astype(np.int64))
+        k_name = np.char.mod("k%d", ((h_evt >> np.uint64(14)) % np.uint64(5))
+                             .astype(np.int64))
+        v_str = np.char.mod("%d", ((h_evt >> np.uint64(17))
+                                   % np.uint64(100000)).astype(np.int64))
+        topics_json = ('{"' + t_name.astype(object) + '":[{"' +
+                       k_name.astype(object) + '":"' + v_str.astype(object)
+                       + '"}]}')
+        tx_arr = pa.array(tx_idx, mask=~is_evt)
+        tj_arr = pa.array(topics_json, mask=~is_evt)
+    else:
+        tx_arr = pa.nulls(n, pa.int64())
+        tj_arr = pa.nulls(n, pa.string())
 
     # code payload: deterministic variable-length bytes. A small hash
     # pool makes duplicate blobs arise naturally across rows — the
     # content-addressed key (sha256) then collapses them in the
     # doc_blobs table, exercising LWW on a key that is a pure function
     # of the payload.
-    blob_seed = (h_code >> np.uint64(20)) % np.uint64(64)
-    b0 = _h(blob_seed, s.seed, 11)
-    b1 = _h(blob_seed, s.seed, 12)
-    reps = (np.uint64(1) + (h_code >> np.uint64(26)) % np.uint64(3)) \
-        .astype(np.int64)
-    blob_strs = np.char.add(np.char.mod("%016x", b0.astype("uint64")),
-                            np.char.mod("%016x", b1.astype("uint64")))
-    blobs = np.char.encode(np.char.multiply(blob_strs, reps), "ascii")
+    if is_code.any():
+        blob_seed = (h_code >> np.uint64(20)) % np.uint64(64)
+        b0 = _h(blob_seed, s.seed, 11)
+        b1 = _h(blob_seed, s.seed, 12)
+        reps = (np.uint64(1) + (h_code >> np.uint64(26)) % np.uint64(3)) \
+            .astype(np.int64)
+        blob_strs = np.char.add(np.char.mod("%016x", b0.astype("uint64")),
+                                np.char.mod("%016x", b1.astype("uint64")))
+        blobs = np.char.encode(np.char.multiply(blob_strs, reps), "ascii")
+        blob_arr = pa.array(blobs, type=pa.binary(), mask=~is_code)
+    else:
+        blob_arr = pa.nulls(n, pa.binary())
 
     # token arrays: null for deletes / ttl / events / code / nonce rows
     has_tokens = (~is_ttl) & (~is_evt) & (~is_code) & (op != "delete") \
@@ -187,9 +200,9 @@ def _gen_batch(ids: np.ndarray, s: StreamSpec) -> pa.RecordBatch:
          pa.array(entry_type.astype(object)),
          pa.array(BASE_TS + seq),
          pa.array(live_until, mask=~live_mask),
-         pa.array(tx_idx, mask=~is_evt),
-         pa.array(topics_json, mask=~is_evt),
-         pa.array(blobs, type=pa.binary(), mask=~is_code)],
+         tx_arr,
+         tj_arr,
+         blob_arr],
         names=["seq", "pos", "op", "doc_id", "tokens", "source",
                "entry_type", "closed_at_s", "live_until", "tx_idx",
                "topics_json", "blob"])

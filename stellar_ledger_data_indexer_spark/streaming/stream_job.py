@@ -44,7 +44,9 @@ def stream_replay(spark: SparkSession, events_path: str, target: LakeTable,
                   checkpoint_dir: str, salt_buckets: int = 0,
                   max_files_per_trigger: int | None = None,
                   mor: bool = False,
-                  extra_datasets: list | None = None):
+                  extra_datasets: list | None = None,
+                  enrich: bool = True,
+                  compact_every: int = 8):
     """Start a streaming replay into ``target``. Returns the
     StreamingQuery; callers drive it with processAllAvailable()/stop()
     (tests) or awaitTermination() (production tail).
@@ -64,7 +66,16 @@ def stream_replay(spark: SparkSession, events_path: str, target: LakeTable,
     ``extra_datasets``: optional list of (DatasetSpec, LakeTable) pairs
     (the registry's "upsert" kind — e.g. doc_events) applied per
     micro-batch after the base/enrich pair, same order contract as the
-    batch job's epoch body."""
+    batch job's epoch body. ``enrich`` mirrors the batch job's dataset
+    selection ("ttl" registered or not) so the same ``--datasets`` value
+    produces the same documents state under either verb.
+
+    Compaction parity with the batch path: a micro-batch ≙ an epoch, so
+    under merge-on-read each table folds its stacked deltas whenever
+    ``delta_depth() >= compact_every`` — without this an availableNow
+    catch-up at maxFilesPerTrigger=1 stacks one delta per file and every
+    later micro-batch's merge read resolves an O(N)-deep stack
+    (quadratic total work, unbounded file growth)."""
     reader = (spark.readStream.schema(CHANGE_EVENTS))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -74,11 +85,16 @@ def stream_replay(spark: SparkSession, events_path: str, target: LakeTable,
         from ..operators.merge import merge_upsert_generic
 
         apply_change_batch(batch_df.sparkSession, target, batch_df,
-                           salt_buckets=salt_buckets, mor=mor)
+                           salt_buckets=salt_buckets, mor=mor,
+                           enrich=enrich)
         for spec, tbl in (extra_datasets or []):
             batch = spec.dedup(spec.project(batch_df))
             merge_upsert_generic(batch_df.sparkSession, tbl, batch,
                                  spec.key_col, mor=mor)
+        if mor:
+            for tbl in (target, *(t for _s, t in (extra_datasets or []))):
+                if tbl.delta_depth() >= compact_every:
+                    tbl.compact(batch_df.sparkSession)
 
     return (events.writeStream
             .foreachBatch(sink)

@@ -46,6 +46,8 @@ def test_registry_resolve_validates():
         resolve(("ttl",))
     with pytest.raises(ValueError, match="must come after"):
         resolve(("ttl", "tokens"))
+    with pytest.raises(ValueError, match="duplicate"):
+        resolve(("tokens", "ttl", "doc_events", "doc_events"))
     assert set(REGISTRY) == {"tokens", "ttl", "doc_events", "doc_blobs"}
 
 
@@ -266,6 +268,46 @@ def test_sigkill_resume_converges_all_datasets(spark, events_path,
     for table, key in (("documents", "doc_id"), ("doc_events", "event_id"),
                        ("doc_blobs", "code_hash")):
         assert fp(wh_crash, table, key) == fp(wh_clean, table, key), table
+
+
+def test_first_epoch_crash_before_marker_replays(spark, events_path,
+                                                 tmp_path, monkeypatch):
+    """The bootstrap resume hole (r3 review finding): FIRST epoch's base
+    merge commits, then the process dies before the extra-dataset merges
+    and the marker. The checkpoint table exists-but-empty — resume must
+    treat that as 'replay from the start' (the sink-max fallback here
+    would skip the epoch and permanently drop its doc_events rows);
+    sink-max applies only when the checkpoint table was MISSING at open."""
+    from stellar_ledger_data_indexer_spark.operators import merge as M
+    wh = str(tmp_path / "wh")
+    cfg = JobConfig(events_path=events_path, warehouse=wh, num_buckets=8,
+                    epoch_size=40, datasets=("tokens", "ttl", "doc_events"))
+    job = IngestJob(spark, cfg)
+    rng, epochs = job.plan(start=2, end=0, backfill=True)
+    lo, hi = epochs[0]
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before extra-dataset merge")
+
+    monkeypatch.setattr(M, "merge_upsert_generic", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        job.apply_epoch(lo, hi)
+    monkeypatch.undo()
+
+    # base merge committed (sink max == hi), no marker, table exists+empty
+    job2 = IngestJob(spark, cfg)
+    assert job2.max_seq_in_sink() >= hi
+    assert job2.checkpoints.existed
+    assert job2.resume_watermark() == 0  # NOT the sink max
+    job2.run(start=2, end=0, backfill=True)
+    _assert_matches_oracle(spark, job2, events_path)
+
+    # the genuine lost-control-tables case still falls back to sink max
+    import shutil
+    shutil.rmtree(os.path.join(wh, "_checkpoints"))
+    job3 = IngestJob(spark, cfg)
+    assert not job3.checkpoints.existed
+    assert job3.resume_watermark() == job3.max_seq_in_sink() > 0
 
 
 def test_property_random_slicing_all_datasets(spark, events_path,
