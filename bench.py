@@ -34,7 +34,8 @@ QUERY_NAMES = [
     "b64_serialize", "topics_serialize", "i128_decimal_sum",
     "join_agg_shuffle", "broadcast_dim_join", "topn_orders",
     "rollup_pricing", "topk_per_group", "anti_join_unordered_parts",
-    "q3_shipping_priority",
+    "semi_join_heavy_parts", "distinct_agg_supplier",
+    "running_total_orders", "q3_shipping_priority",
     "exact_dedup", "token_count", "token_count_bpe", "text_stats", "lang_id",
     "ngram_jaccard_pairs", "embedding_neardup", "cosine_knn",
     "minhash_pairs", "simhash_signatures",

@@ -482,6 +482,65 @@ def q3_shipping_priority(spark, sf):
             .limit(10))
 
 
+@_q("semi_join_heavy_parts", """
+SELECT p_partkey FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+""")
+def semi_join_heavy_parts(spark, sf):
+    """Semi join (EXISTS ≡ left_semi) — the mirror of the anti-join
+    entry: parts with at least one near-max-quantity order line. The
+    probe-side predicate pushes to the scan; the build side carries only
+    the join key (no payload reaches the output)."""
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+            .select("p_partkey"))
+
+
+@_q("distinct_agg_supplier", """
+SELECT l_suppkey,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*) AS n_lines
+FROM lineitem GROUP BY l_suppkey
+""")
+def distinct_agg_supplier(spark, sf):
+    """Exact distinct aggregation (COUNT(DISTINCT) alongside a plain
+    count) — a distinct operator shape: Spark plans it as a two-phase
+    expand/partial-agg (dedup on (suppkey, partkey) map-side, then the
+    count), not a naive global de-dup. Exactly oracle-able, unlike the
+    approx_count_distinct sketch the streaming metrics use."""
+    li = _t(spark, sf, "lineitem")
+    return (li.groupBy("l_suppkey")
+            .agg(F.count_distinct("l_partkey").alias("n_parts"),
+                 F.count("*").alias("n_lines")))
+
+
+@_q("running_total_orders", """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS running_c
+FROM orders WHERE o_custkey < 200
+""")
+def running_total_orders(spark, sf):
+    """Frame-based window aggregation (running total per customer in
+    order-date order) — a WindowExec shape the rank/top-k entries don't
+    cover: a cumulative ROWS frame with a deterministic (date, orderkey)
+    order. Integerized so the running sums compare exactly; sliced to
+    o_custkey < 200 to keep the oracle small at any sf."""
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") < 200)
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .over(w).cast("bigint").alias("running_c"))
+
+
 # -------------------------------------------------- training-data pipeline
 
 _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"

@@ -65,7 +65,8 @@ NON_EMPTY = [
     "minhash_lsh_verified", "cosine_knn",
     "anti_join_unordered_parts", "q3_shipping_priority",
     "join_agg_shuffle", "broadcast_dim_join", "topn_orders",
-    "rollup_pricing", "topk_per_group",
+    "rollup_pricing", "topk_per_group", "semi_join_heavy_parts",
+    "distinct_agg_supplier", "running_total_orders",
 ]
 
 
