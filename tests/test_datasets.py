@@ -334,6 +334,38 @@ def test_property_random_slicing_all_datasets(spark, events_path,
             assert bytes(engine_blob[h]["blob"]) == o["blob"]
 
 
+def test_generic_merge_concurrent_writers(spark, tmp_path):
+    """Two writers merging disjoint event batches into the same
+    doc_events table concurrently: the snapshot race resolves via the
+    inherited commit retry and both land exactly once (≙ the per-batch
+    transaction retry, internal/utils/postgres.go:39-77)."""
+    from concurrent.futures import ThreadPoolExecutor
+    from datetime import datetime, timezone
+
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+    from stellar_ledger_data_indexer_spark.operators.merge import (
+        merge_upsert_generic)
+    from stellar_ledger_data_indexer_spark.schema import DOC_EVENTS
+
+    path = str(tmp_path / "ev")
+    LakeTable.create(path, DOC_EVENTS, bucket_col="event_id", num_buckets=4)
+    ts = datetime(2024, 5, 1, tzinfo=timezone.utc)
+
+    def writer(widx):
+        tbl = LakeTable(path)
+        rows = [((100 + widx) << 32 | i << 12, f"d{i}", 100 + widx, i, i,
+                 {"t": [{"k": str(i)}]}, ts) for i in range(6)]
+        df = spark.createDataFrame(rows, DOC_EVENTS)
+        return merge_upsert_generic(spark, tbl, df, "event_id", mor=True)
+
+    with ThreadPoolExecutor(2) as ex:
+        res = list(ex.map(writer, [0, 1]))
+    assert sum(r.inserted for r in res) == 12
+    final = LakeTable(path).read(spark)
+    assert final.count() == 12
+    assert final.select("seq").distinct().count() == 2
+
+
 def test_project_events_unit(spark):
     """TOID packing + topics decode golden row (≙ the transform golden
     tests, internal/transform/contract_data_test.go:13-163)."""
