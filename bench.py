@@ -116,20 +116,51 @@ def bench_queries(spark) -> dict[str, float]:
     simhash(tiny).count()
 
     # drift guard: the curated timing order must cover the catalog exactly
+    # (a plain assert is stripped under python -O — raise explicitly)
     missing = set(QUERY_FNS) - set(QUERY_NAMES)
     stale = set(QUERY_NAMES) - set(QUERY_FNS)
-    assert not missing and not stale, (
-        f"bench QUERY_NAMES out of sync with the catalog: "
-        f"missing={sorted(missing)} stale={sorted(stale)}")
+    if missing or stale:
+        raise RuntimeError(
+            f"bench QUERY_NAMES out of sync with the catalog: "
+            f"missing={sorted(missing)} stale={sorted(stale)}")
+    # best-of-N per query: a single hypervisor steal spike (this box
+    # measures up to 2× wall variance at fixed config) must not define
+    # the artifact of record — the best of N back-to-back runs is the
+    # engine's cost, the others are the climate's
+    reps = max(int(os.environ.get("SLDI_BENCH_QUERY_REPS", "3")), 1)
     out = {}
     for name in QUERY_NAMES:
         fn = QUERY_FNS[name]
-        t0 = time.monotonic()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        out[name] = round(time.monotonic() - t0, 3)
-        _ = n
+        best = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).count()
+            dt = time.monotonic() - t0
+            best = dt if best is None or dt < best else best
+        out[name] = round(best, 3)
     return out
+
+
+def bench_packing(spark) -> dict:
+    """Sequence-packing throughput (VERDICT r3 item 6): pack the full
+    documents table into 256-token EOS-separated blocks and report
+    packed tokens/sec (conservation of the token count is the
+    sequence_pack_stats oracle; this measures the fold)."""
+    from pyspark.sql import functions as F
+
+    from stellar_ledger_data_indexer_spark.functions.packing import \
+        pack_blocks
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    reps = max(int(os.environ.get("SLDI_BENCH_QUERY_REPS", "3")), 1)
+    best, toks = None, 0
+    for _ in range(reps):
+        t0 = time.monotonic()
+        toks = (pack_blocks(d, block_size=256)
+                .agg(F.sum(F.size("tokens")).alias("n")).collect()[0]["n"])
+        dt = time.monotonic() - t0
+        best = dt if best is None or dt < best else best
+    return {"packed_tokens": int(toks), "sec": round(best, 3),
+            "tokens_per_sec": round(toks / best, 1)}
 
 
 def main() -> int:
@@ -143,19 +174,28 @@ def main() -> int:
     # node with local NVMe would look like. SLDI_BENCH_DIR/SLDI_LOCAL_DIR
     # override both.
     shm = os.path.isdir("/dev/shm")
+    # cleanup only deletes what THIS process created: a user-set
+    # SLDI_LOCAL_DIR / SLDI_BENCH_DIR is theirs to manage, and the shared
+    # default path may belong to a concurrent bench
+    owned: list[str] = []
     if shm and not os.environ.get("SLDI_LOCAL_DIR"):
-        os.environ["SLDI_LOCAL_DIR"] = "/dev/shm/sldi_bench_local"
+        os.environ["SLDI_LOCAL_DIR"] = f"/dev/shm/sldi_bench_local_{os.getpid()}"
         os.makedirs(os.environ["SLDI_LOCAL_DIR"], exist_ok=True)
+        owned.append(os.environ["SLDI_LOCAL_DIR"])
     spark = get_spark(app="sldi-bench", master=f"local[{par}]",
                       shuffle_partitions=par * 2,
                       extra={"spark.ui.enabled": "false"})
-    work = os.environ.get("SLDI_BENCH_DIR",
-                          "/dev/shm/sldi_bench" if shm else "/tmp/sldi_bench")
+    work = os.environ.get("SLDI_BENCH_DIR")
+    if not work:
+        work = (f"/dev/shm/sldi_bench_{os.getpid()}" if shm
+                else f"/tmp/sldi_bench_{os.getpid()}")
+        owned.append(work)
     os.makedirs(work, exist_ok=True)
     try:
         replay = bench_replay(spark, n_events, work, par)
-        queries = ({} if os.environ.get("SLDI_BENCH_REPLAY_ONLY")
-                   else bench_queries(spark))
+        replay_only = os.environ.get("SLDI_BENCH_REPLAY_ONLY")
+        queries = {} if replay_only else bench_queries(spark)
+        packing = {} if replay_only else bench_packing(spark)
         total = replay["replay_sec"] + sum(queries.values())
         print(json.dumps({
             "metric": "cdc_replay_plus_catalog_wall",
@@ -164,13 +204,14 @@ def main() -> int:
             "queries": queries,
             "sf": sf,
             "replay": replay,
+            "packing": packing,
             "parallelism": par,
         }))
         return 0
     finally:
         spark.stop()
-        shutil.rmtree(work, ignore_errors=True)
-        shutil.rmtree("/dev/shm/sldi_bench_local", ignore_errors=True)
+        for p in owned:
+            shutil.rmtree(p, ignore_errors=True)
 
 
 if __name__ == "__main__":

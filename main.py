@@ -183,6 +183,11 @@ def cmd_inspect(args: argparse.Namespace) -> int:
         source_tip = max(tips, default=None)
     epochs = sorted(mx.read_latest() if mx else [],
                     key=lambda m: m["epoch_id"])
+    # distinct-epoch slice computed ONCE (inside the comprehension it
+    # would re-sort the full metric set per row — O(n²) in the verb
+    # documented as the zero-JVM fast path; ADVICE r3)
+    last_ids = set(sorted({m["epoch_id"] for m in epochs})
+                   [-args.last_epochs:])
 
     def table_state(tbl: LakeTable) -> dict:
         return {
@@ -222,9 +227,7 @@ def cmd_inspect(args: argparse.Namespace) -> int:
              "rows_updated": m["rows_updated"],
              "wall_secs": m["wall_secs"],
              "bytes_written": m["bytes_written"]}
-            for m in epochs
-            if m["epoch_id"] in sorted({m2["epoch_id"] for m2 in epochs}
-                                       )[-args.last_epochs:]],
+            for m in epochs if m["epoch_id"] in last_ids],
     }))
     return 0
 

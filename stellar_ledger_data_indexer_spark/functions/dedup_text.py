@@ -60,13 +60,69 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     """Array of word n-gram strings (lowercased, whitespace-tokenized) —
     JVM-only: split + transform + slice + concat_ws."""
     words = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
-    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), k)  # 1-based slice positions
+    k = F.size(words) - F.lit(n - 1)
+    # guard k < 1: Spark's sequence(1, 0) counts DOWN ([1, 0]) and
+    # slice(words, 0, n) then errors — a doc shorter than n words must
+    # yield an empty shingle set instead
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)) \
+        .otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.concat_ws(
         " ", F.slice(words, i, n)))
 
 
 # -------------------------------------------------------------- minhash
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (public-domain constants, same family the
+    stream generator uses — sources/change_stream.py) — the integer
+    permutation hash for the Arrow signature path."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def minhash_sig_arrow(num_perm: int = 32, seed: int = 7):
+    """Arrow-batched MinHash signatures: one pandas UDF maps the per-row
+    shingle-hash array straight to the num_perm-wide signature —
+    vectorized numpy (flatten once, num_perm × (splitmix64 + reduceat)),
+    no explode and NO shuffle (the grouped form pays a full-corpus
+    shuffle into the signature aggregation). Empty/missing shingle sets
+    return null (the grouped form emits no row for them — callers filter
+    nulls to match). The permutation family differs from the grouped
+    form's xxhash64 chain; any uniform family satisfies the LSH
+    recall/coverage oracles (catalog entries re-verified at every sf)."""
+    keys = _splitmix64((np.arange(num_perm, dtype=np.uint64) + np.uint64(1))
+                       * np.uint64(2 * seed + 1))
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig(hashes: pd.Series) -> pd.Series:
+        vals = hashes.to_numpy()
+        lens = np.array([0 if v is None else len(v) for v in vals],
+                        dtype=np.int64)
+        nonempty = lens > 0
+        if not nonempty.any():
+            return pd.Series([None] * len(vals))
+        flat = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v in vals[nonempty]]
+        ).astype(np.uint64)
+        offsets = np.zeros(int(nonempty.sum()) + 1, dtype=np.int64)
+        np.cumsum(lens[nonempty], out=offsets[1:])
+        starts = offsets[:-1]
+        mins = np.empty((num_perm, len(starts)), dtype=np.int64)
+        for i in range(num_perm):
+            ph = _splitmix64(flat ^ keys[i])
+            mins[i] = np.minimum.reduceat(ph, starts).astype(np.int64)
+        out = np.empty(len(vals), dtype=object)
+        cols = mins.T  # row-major: one signature per nonempty doc
+        # fromiter keeps the per-doc lists as scalar objects (a plain
+        # boolean-indexed assignment would broadcast the 2-D shape)
+        out[nonempty] = np.fromiter((c.tolist() for c in cols),
+                                    dtype=object, count=len(cols))
+        out[~nonempty] = None
+        return pd.Series(out)
+    return sig
+
+
 def minhash_signature(shingles: Column, num_perm: int = 32,
                       seed: int = 7) -> Column:
     """num_perm-wide MinHash signature. The shingle strings are hashed
@@ -98,48 +154,84 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", shingle_n: int = 3,
                             num_perm: int = 32, num_bands: int = 8,
                             seed: int = 7,
-                            max_bucket: int = 200) -> DataFrame:
+                            max_bucket: int | None = 200,
+                            sig_mode: str = "grouped") -> DataFrame:
     """(id_a, id_b, n_shared_bands) candidate near-dup pairs via LSH.
 
-    Physical shape: explode shingle hashes once, then ONE grouped
-    aggregation computes all num_perm minima (map-side partial agg —
-    each shingle hashed exactly once). The array-expression formulation
-    (minhash_signature inside a single projection) is quadratic in
-    practice: Catalyst re-evaluates the signature subtree per band
-    reference (no CSE across element_at) — measured 25s vs <2s on 500
-    docs. Downstream, the shuffle carries only (bucket, id): at 10^10
-    docs the explode is num_bands× the id column, never the corpus."""
+    Two physical strategies for the signatures (``sig_mode``):
+
+    - ``"grouped"`` (default): explode shingle hashes once, then ONE
+      grouped aggregation computes all num_perm minima (map-side partial
+      agg — each shingle hashed exactly once, all JVM). The
+      array-expression formulation (minhash_signature inside a single
+      projection) is quadratic in practice: Catalyst re-evaluates the
+      signature subtree per band reference (no CSE across element_at) —
+      measured 25s vs <2s on 500 docs.
+    - ``"arrow"``: one Arrow-batched pandas UDF maps the shingle-hash
+      array straight to the signature — NO shuffle before banding (the
+      grouped form shuffles the exploded corpus into the aggregation),
+      and the PythonUDF node is an evaluation barrier, so the band
+      expressions read the materialized array instead of re-deriving it.
+      The regime this targets is a corpus whose full-width signature
+      shuffle dominates (wide docs × 10^10 rows); on SMALL corpora the
+      Python-worker round-trip costs more than the shuffle it removes
+      (same-climate A/B on the 600-doc twin corpus: 3.1s arrow vs 1.9s
+      grouped), so grouped stays the default. The permutation families
+      differ, so candidate sets are not byte-identical across modes
+      (both satisfy the recall oracles).
+
+    Downstream (both modes) the shuffle carries only (bucket, id): at
+    10^10 docs the banding explode is num_bands× the id column, never
+    the corpus.
+
+    ``max_bucket``: cap bucket width (standard LSH hygiene): a bucket
+    holding B docs yields B²/2 candidate pairs — on a near-dup-heavy
+    corpus one megabucket dominates the join quadratically while
+    carrying no dedup precision. Oversized buckets are dropped, not
+    sampled, so the result stays deterministic. ``None`` skips the cap
+    stage (for corpora whose bucket widths are bounded by construction —
+    saves its aggregation + broadcast anti-join)."""
     rows_per_band = num_perm // num_bands
-    base = docs.select(
-        F.col(id_col),
-        F.explode(F.transform(word_shingles(F.col(text_col), shingle_n),
-                              lambda s: F.xxhash64(s, F.lit(seed))))
-        .alias("h"))
-    sig = base.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.col("h"), F.lit(seed + 1 + i)))
-          .alias(f"m{i}") for i in range(num_perm)])
+    if sig_mode == "arrow":
+        hashes = F.transform(word_shingles(F.col(text_col), shingle_n),
+                             lambda s: F.xxhash64(s, F.lit(seed)))
+        sig = (docs.select(F.col(id_col),
+                           minhash_sig_arrow(num_perm, seed)(hashes)
+                           .alias("_sig"))
+               .filter(F.col("_sig").isNotNull()))
+        def elem(bn: int, r: int) -> Column:
+            return F.element_at("_sig", bn * rows_per_band + r + 1)
+    elif sig_mode == "grouped":
+        base = docs.select(
+            F.col(id_col),
+            F.explode(F.transform(word_shingles(F.col(text_col), shingle_n),
+                                  lambda s: F.xxhash64(s, F.lit(seed))))
+            .alias("h"))
+        sig = base.groupBy(id_col).agg(
+            *[F.min(F.xxhash64(F.col("h"), F.lit(seed + 1 + i)))
+              .alias(f"m{i}") for i in range(num_perm)])
+        def elem(bn: int, r: int) -> Column:
+            return F.col(f"m{bn * rows_per_band + r}")
+    else:
+        raise ValueError(f"sig_mode must be grouped|arrow, got {sig_mode}")
     bands = [F.struct(F.lit(bn).alias("band"),
                       F.xxhash64(F.concat_ws(
-                          ",", *[F.col(f"m{bn * rows_per_band + r}")
-                                 .cast("string")
+                          ",", *[elem(bn, r).cast("string")
                                  for r in range(rows_per_band)]))
                       .alias("bucket"))
              for bn in range(num_bands)]
     banded = sig.select(id_col, F.explode(F.array(*bands)).alias("b"))
-    # cap bucket width (standard LSH hygiene): a bucket holding B docs
-    # yields B²/2 candidate pairs — on a near-dup-heavy corpus one
-    # megabucket dominates the join quadratically while carrying no
-    # dedup precision. Oversized buckets are dropped, not sampled, so
-    # the result stays deterministic. Bucket sizes come from a grouped
-    # aggregation (map-side combined) joined back — NOT a window over
-    # the bucket key, which would funnel each megabucket onto a single
-    # partition, i.e. exactly the skew this cap defends against.
-    # The oversized-bucket set is tiny by construction (few megabuckets),
-    # so broadcast IT and anti-join — never the keep-set, which is ~every
-    # bucket in the table.
-    oversized = (banded.groupBy("b").agg(F.count("*").alias("_bw"))
-                 .filter(F.col("_bw") > max_bucket).drop("_bw"))
-    banded = banded.join(F.broadcast(oversized), "b", "left_anti")
+    if max_bucket is not None:
+        # bucket sizes come from a grouped aggregation (map-side
+        # combined) joined back — NOT a window over the bucket key, which
+        # would funnel each megabucket onto a single partition, i.e.
+        # exactly the skew this cap defends against. The oversized-bucket
+        # set is tiny by construction (few megabuckets), so broadcast IT
+        # and anti-join — never the keep-set, which is ~every bucket in
+        # the table.
+        oversized = (banded.groupBy("b").agg(F.count("*").alias("_bw"))
+                     .filter(F.col("_bw") > max_bucket).drop("_bw"))
+        banded = banded.join(F.broadcast(oversized), "b", "left_anti")
     lhs = banded.select(F.col(id_col).alias("id_a"), "b")
     rhs = banded.select(F.col(id_col).alias("id_b"), "b")
     return (lhs.join(rhs, "b")

@@ -71,15 +71,32 @@ def rp_planes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     return rng.randn(n_planes, dim).astype("float32")
 
 
+def rp_bucket_batch(planes: np.ndarray):
+    """Arrow-batched random-hyperplane bucket assignment: one matmul per
+    Arrow batch against the plane matrix (shipped once in the UDF
+    closure — the broadcast-variable analog), sign bits packed into a
+    long with plane 0 as the most significant bit.
+
+    The r3 form built n_planes inline literal-array dot products per row
+    (interpreted zip_with/aggregate — the cost class VERDICT r3 item 1
+    flagged for ivf_assign, and unshippable at dim 768 where the plan
+    would carry n_planes × dim literals). Here assignment is O(batch):
+    one (batch × dim) @ (dim × n_planes) product."""
+    pl = np.asarray(planes, dtype="float64")
+    weights = (1 << np.arange(len(pl))[::-1]).astype("int64")
+
+    @pandas_udf(T.LongType())
+    def bucket(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy()).astype("float64")
+        bits = (m @ pl.T) >= 0
+        return pd.Series((bits @ weights).astype("int64"))
+    return bucket
+
+
 def rp_bucket(vec: Column, planes: np.ndarray) -> Column:
-    """Random-hyperplane LSH bucket id: sign-bit per plane packed into a
-    long — JVM expressions only."""
-    bits = [F.when(dot(vec, _lit_vec(p)) >= 0, F.lit(1).cast("long"))
-            .otherwise(F.lit(0).cast("long")) for p in planes]
-    acc = F.lit(0).cast("long")
-    for b in bits:
-        acc = F.shiftleft(acc, 1) + b  # pyspark 4: shiftleft alias kept
-    return acc
+    """Random-hyperplane LSH bucket id (sign-bit per plane packed into a
+    long) — Arrow-batched; see rp_bucket_batch."""
+    return rp_bucket_batch(planes)(vec)
 
 
 def cosine_topk_lsh(emb: DataFrame, query: list[float], k: int = 10,
@@ -108,13 +125,38 @@ def ivf_centroids(dim: int, n_centroids: int = 8, seed: int = 42) -> np.ndarray:
     return rng.randn(n_centroids, dim).astype("float32")
 
 
+def ivf_assign_batch(centroids: np.ndarray):
+    """Arrow-batched coarse-quantizer cell assignment: normalize the
+    centroid matrix once driver-side, then per Arrow batch ONE matmul
+    scores every (row, centroid) cosine and argmax picks the cell
+    (scores rounded to 6 decimals; ties resolve to the lowest centroid
+    index — argmax returns the first maximum, matching the r3 JVM
+    tie-break). Replaces n_centroids interpreted zip_with/aggregate
+    cosines per row (VERDICT r3 item 1a: the 4×-outlier cost class the
+    pair scorer already eliminated with cosine_batch) and ships the
+    centroids via the UDF closure instead of inline literals — the only
+    form that works at real dims (768-wide centroids would otherwise be
+    n_centroids × dim plan literals)."""
+    cents = np.asarray(centroids, dtype="float64")
+    cn = np.linalg.norm(cents, axis=1)
+    cn[cn == 0] = 1.0
+    unit = (cents / cn[:, None]).T  # dim × n_centroids
+
+    @pandas_udf(T.IntegerType())
+    def assign(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy()).astype("float64")
+        vn = np.linalg.norm(m, axis=1, keepdims=True)
+        vn[vn == 0] = 1.0
+        scores = np.round((m / vn) @ unit, 6)
+        return pd.Series(np.argmax(scores, axis=1).astype("int32"))
+    return assign
+
+
 def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
-    """Coarse-quantizer cell: argmax cosine over a literal centroid set
-    (deterministic tie-break by centroid index)."""
-    scored = [F.struct(F.round(cosine(vec, _lit_vec(c)), 6).alias("score"),
-                       F.lit(-i).alias("tie"), F.lit(i).alias("cell"))
-              for i, c in enumerate(centroids)]
-    return F.greatest(*scored)["cell"]
+    """Coarse-quantizer cell: argmax cosine over the centroid set
+    (deterministic tie-break by centroid index) — Arrow-batched; see
+    ivf_assign_batch."""
+    return ivf_assign_batch(centroids)(vec)
 
 
 def cosine_topk_ivf(emb: DataFrame, query: list[float], k: int = 10,

@@ -201,7 +201,10 @@ class IngestJob:
         path = os.path.join(self.cfg.warehouse, "_gauges.json")
         tmp = path + ".tmp"
         g = {
-            "phase": phase,                    # "applying" | "committed"
+            # "applying" → epoch in flight; "finalizing" → merges landed,
+            # marker not yet durable (a crash here replays the epoch);
+            # "committed" → marker durable
+            "phase": phase,
             "epoch_id": epoch_id,
             "range_start": lo,                 # ≙ BatchRangeStart/End gauges
             "range_end": hi,
@@ -337,16 +340,21 @@ class IngestJob:
                                 now() - t0, bytes_written=res.bytes_written)
 
         # gauges refreshed BEFORE the marker (a poller sees the epoch's
-        # numbers no later than its durability point) …
+        # numbers no later than its durability point) — but under the
+        # distinct "finalizing" phase: a crash in the window between this
+        # write and the marker leaves a gauge file that must NOT claim
+        # phase=committed for an epoch that has no marker and will be
+        # replayed (ADVICE r3) …
         self._epochs_done += 1
         self._rows_upserted_total += mres.rows_upserted
         self._rows_enriched_total += eres.updated
-        self._write_gauges("committed", epoch_id, lo, hi)
+        self._write_gauges("finalizing", epoch_id, lo, hi)
         # … then the marker, written strictly last — the exactly-once
-        # commit point
+        # commit point — and only then the committed gauge
         self.checkpoints.commit(self.spark, epoch_id, lo, hi,
                                 self.target.version, mres.rows_upserted,
                                 eres.updated)
+        self._write_gauges("committed", epoch_id, lo, hi)
         # maintenance AFTER the commit point: fold stacked deltas back
         # into base files once resolution depth reaches the configured
         # bound (≙ the reference's post-backfill REINDEX upkeep,

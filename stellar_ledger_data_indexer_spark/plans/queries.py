@@ -1054,13 +1054,23 @@ def minhash_pairs(spark, sf):
       32 perms × 16 bands puts P(miss | J≥0.78 twin) < 1e-8).
     - bands_ok: every candidate's ``n_shared_bands`` ∈ [1, num_bands] —
       the banding arithmetic invariant.
-    """
+
+    Physical shape (r4): the corpus is a bounded 600-doc slice, so wall
+    time here is stage-count overhead, not data (measured flat from
+    slice 100 → 300). max_bucket=None drops the cap stage (bucket widths
+    are ≤2 by construction on the twin corpus — the cap path stays
+    exercised by minhash_lsh_verified), and BOTH invariants fold into
+    ONE aggregation over a tagged union (candidate rows ∪ coverage rows)
+    instead of a crossJoin of two single-row aggregates — Spark reuses
+    the candidate exchange across the two union branches, so no persist
+    is needed. Same-climate A/B kept sig_mode="grouped": the Arrow
+    signature path (no signature shuffle) measured 3.1s vs 1.9s here —
+    at 600 docs the Python-worker round-trip costs more than the
+    shuffle it removes (the arrow path's regime is corpora where the
+    full-corpus signature shuffle dominates)."""
     corpus = _twin_corpus(spark, sf)
-    # the candidate set feeds BOTH invariant branches (coverage join +
-    # bands agg) — persist so the banding pipeline runs once, not per
-    # branch (the cache is the tiny aggregated pair list)
-    cands = minhash_candidate_pairs(corpus, num_perm=32,
-                                    num_bands=16).persist()
+    cands = minhash_candidate_pairs(corpus, num_perm=32, num_bands=16,
+                                    max_bucket=None)
     grams = corpus.select(
         "doc_id",
         F.array_distinct(word_shingles(F.col("text"), 2)).alias("g"))
@@ -1075,12 +1085,28 @@ def minhash_pairs(spark, sf):
                   .select("id"))
     twin_cands = (cands.filter(F.col("id_b") == F.col("id_a") + 1000000)
                   .select(F.col("id_a").alias("id"), F.lit(1).alias("_c")))
-    cov = (true_pairs.join(twin_cands, "id", "left")
-           .agg(F.count("*").alias("n_true"),
-                (F.count("*") == F.sum("_c")).alias("covered_ok")))
-    bands = cands.agg(((F.min("n_shared_bands") >= 1)
-                       & (F.max("n_shared_bands") <= 16)).alias("bands_ok"))
-    return cov.crossJoin(bands)
+    # tagged union: is_true=0 rows carry a candidate's band count,
+    # is_true=1 rows carry a true pair's coverage bit. Invariants must
+    # stay boolean on degenerate inputs (the DuckDB twin pins literal
+    # TRUE; a NULL would read as a spurious value mismatch on a sparse
+    # fixture) — coalesce the coverage SUM, not the whole comparison:
+    # 0 qualifying pairs → 0 == 0 → TRUE, but qualifying pairs with
+    # zero candidate matches must still report FALSE; bands over an
+    # empty candidate set coalesces to TRUE (ADVICE r3).
+    u = (cands.select(F.lit(0).alias("is_true"),
+                      F.col("n_shared_bands").alias("nb"),
+                      F.lit(None).cast("int").alias("cov"))
+         .unionByName(
+             true_pairs.join(twin_cands, "id", "left")
+             .select(F.lit(1).alias("is_true"),
+                     F.lit(None).cast("long").alias("nb"),
+                     F.coalesce("_c", F.lit(0)).alias("cov"))))
+    n_true = F.coalesce(F.sum("is_true"), F.lit(0))
+    return u.agg(
+        n_true.cast("long").alias("n_true"),
+        (n_true == F.coalesce(F.sum("cov"), F.lit(0))).alias("covered_ok"),
+        F.coalesce((F.min("nb") >= 1) & (F.max("nb") <= 16), F.lit(True))
+        .alias("bands_ok"))
 
 
 @_q("simhash_signatures", f"""
