@@ -17,6 +17,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -84,6 +85,43 @@ spark.stop()
     return json.loads(line)
 
 
+def _burn_worker(iters: int) -> int:
+    x = 0x2545F4914F6CDD1D
+    m = (1 << 64) - 1
+    for _ in range(iters):
+        x = (x * 6364136223846793005 + 1442695040888963407) & m
+    return x
+
+
+def run_burn_probe(n: int, iters: int = 2_000_000,
+                   trials: int = 5) -> dict:
+    """Engine-independent climate ceiling: pure-Python integer burn in
+    ``n`` OS processes (no Spark, no I/O, no shared state). The N→4N
+    throughput ratio of THIS is the most ANY software could scale on
+    this box at measurement time — hypervisor steal (up to 20% here,
+    varying day to day) caps it well below 1.0 in bad windows. Every
+    scaling artifact carries this same-day ceiling so the north rule's
+    ≥0.8 criterion is evaluable in ANY climate: efficiency/ceiling is
+    the climate-calibrated number (VERDICT r3 item 5). Best-of-trials
+    per level."""
+    import multiprocessing as mp
+
+    def thr(procs: int) -> float:
+        best = None
+        with mp.Pool(procs) as pool:
+            for _ in range(trials):
+                t0 = time.monotonic()
+                pool.map(_burn_worker, [iters] * procs)
+                dt = time.monotonic() - t0
+                best = dt if best is None or dt < best else best
+        return procs * iters / best
+
+    t_lo, t_hi = thr(n), thr(4 * n)
+    return {"procs": [n, 4 * n],
+            "ops_per_sec": [round(t_lo), round(t_hi)],
+            "burn_ceiling_N_to_4N": round((t_hi / t_lo) / 4.0, 3)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8)
@@ -95,69 +133,88 @@ def main() -> int:
     ap.add_argument("--repeat", type=int, default=3,
                     help="replay legs per level; best-of-N (hypervisor "
                          "steal spikes slow single runs up to 3×)")
+    ap.add_argument("--json-out", default=None,
+                    help="also write the result object to this path")
     args = ap.parse_args()
+
+    # same-day ceiling measured FIRST, in the same climate window as the
+    # probe that follows
+    burn = run_burn_probe(args.n)
+    ceiling = burn["burn_ceiling_N_to_4N"]
 
     if args.probe == "cpu":
         lo = run_cpu_probe(args.n, args.events)
         hi = run_cpu_probe(args.n * 4, args.events)
         eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / 4.0
-        print(json.dumps({
+        result = {
             "probe": "cpu", "rows": args.events,
             f"local[{args.n}]_rows_per_sec": round(lo["rows_per_sec"]),
             f"local[{args.n * 4}]_rows_per_sec": round(hi["rows_per_sec"]),
             "speedup": round(hi["rows_per_sec"] / lo["rows_per_sec"], 3),
-            "scaling_efficiency_N_to_4N": round(eff, 3)}))
-        md = os.path.join(REPO, "BENCH", "BASELINE.md")
-        with open(md, "a") as fh:
-            fh.write(
-                "\n## Compute-bound Spark probe (64-deep xxhash64 chain, "
-                "best-of-7)\n\n"
-                f"| setting | value |\n|---|---|\n"
-                f"| rows | {args.events:,} |\n"
-                f"| local[{args.n}] | {lo['rows_per_sec']:,.0f} rows/sec "
-                f"({lo['wall']:.2f} s) |\n"
-                f"| local[{args.n * 4}] | {hi['rows_per_sec']:,.0f} rows/sec "
-                f"({hi['wall']:.2f} s) |\n"
-                f"| speedup {args.n}→{args.n * 4} cores | "
-                f"{hi['rows_per_sec'] / lo['rows_per_sec']:.2f}× |\n"
-                f"| **scaling efficiency** | **{eff:.3f}** |\n")
-        return 0
+            "scaling_efficiency_N_to_4N": round(eff, 3),
+            "burn": burn,
+            "calibrated_efficiency": round(eff / ceiling, 3),
+            "meets_0.8_calibrated": eff / ceiling >= 0.8,
+        }
+        md_block = (
+            "\n## Compute-bound Spark probe (64-deep xxhash64 chain, "
+            "best-of-7, climate-calibrated)\n\n"
+            f"| setting | value |\n|---|---|\n"
+            f"| rows | {args.events:,} |\n"
+            f"| local[{args.n}] | {lo['rows_per_sec']:,.0f} rows/sec "
+            f"({lo['wall']:.2f} s) |\n"
+            f"| local[{args.n * 4}] | {hi['rows_per_sec']:,.0f} rows/sec "
+            f"({hi['wall']:.2f} s) |\n"
+            f"| naive scaling efficiency | {eff:.3f} |\n"
+            f"| same-day burn ceiling (engine-independent) | "
+            f"{ceiling:.3f} |\n"
+            f"| **calibrated efficiency (eff/ceiling, target ≥ 0.8)** | "
+            f"**{eff / ceiling:.3f}** |\n")
+    else:
+        def best_of(cpus: int) -> dict:
+            runs = [run_bench(cpus, args.events)
+                    for _ in range(args.repeat)]
+            return max(runs, key=lambda r: r["replay"]["events_per_sec"])
 
-    def best_of(cpus: int) -> dict:
-        runs = [run_bench(cpus, args.events) for _ in range(args.repeat)]
-        return max(runs, key=lambda r: r["replay"]["events_per_sec"])
+        lo = best_of(args.n)
+        hi = best_of(args.n * 4)
+        t_lo = lo["replay"]["events_per_sec"]
+        t_hi = hi["replay"]["events_per_sec"]
+        eff = (t_hi / t_lo) / 4.0
+        result = {
+            "probe": "replay", "events": args.events,
+            f"local[{args.n}]_events_per_sec": t_lo,
+            f"local[{args.n * 4}]_events_per_sec": t_hi,
+            "speedup": round(t_hi / t_lo, 3),
+            "scaling_efficiency_N_to_4N": round(eff, 3),
+            "burn": burn,
+            "calibrated_efficiency": round(eff / ceiling, 3),
+            "meets_0.8_calibrated": eff / ceiling >= 0.8,
+        }
+        md_block = (
+            "\n## Measured scaling (same job, same input, two parallelism "
+            "levels, climate-calibrated)\n\n"
+            f"| setting | value |\n|---|---|\n"
+            f"| input | {args.events:,} change events (deterministic "
+            f"synth, seed 42) |\n"
+            f"| local[{args.n}] replay throughput | {t_lo:,.0f} events/sec "
+            f"({lo['replay']['replay_sec']} s) |\n"
+            f"| local[{args.n * 4}] replay throughput | {t_hi:,.0f} "
+            f"events/sec ({hi['replay']['replay_sec']} s) |\n"
+            f"| naive scaling efficiency | {eff:.3f} |\n"
+            f"| same-day burn ceiling (engine-independent) | "
+            f"{ceiling:.3f} |\n"
+            f"| **calibrated efficiency (eff/ceiling, target ≥ 0.8)** | "
+            f"**{eff / ceiling:.3f}** |\n")
 
-    lo = best_of(args.n)
-    hi = best_of(args.n * 4)
-    t_lo = lo["replay"]["events_per_sec"]
-    t_hi = hi["replay"]["events_per_sec"]
-    eff = (t_hi / t_lo) / 4.0
-    result = {
-        "events": args.events,
-        f"local[{args.n}]_events_per_sec": t_lo,
-        f"local[{args.n * 4}]_events_per_sec": t_hi,
-        "speedup": round(t_hi / t_lo, 3),
-        "scaling_efficiency_N_to_4N": round(eff, 3),
-    }
     print(json.dumps(result))
-
+    if args.json_out:
+        with open(args.json_out, "w") as fh:
+            json.dump(result, fh, indent=1)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
-    block = (
-        "\n## Measured scaling (same job, same input, two parallelism "
-        "levels)\n\n"
-        f"| setting | value |\n|---|---|\n"
-        f"| input | {args.events:,} change events (deterministic synth, "
-        f"seed 42) |\n"
-        f"| local[{args.n}] replay throughput | {t_lo:,.0f} events/sec "
-        f"({lo['replay']['replay_sec']} s) |\n"
-        f"| local[{args.n * 4}] replay throughput | {t_hi:,.0f} events/sec "
-        f"({hi['replay']['replay_sec']} s) |\n"
-        f"| speedup {args.n}→{args.n * 4} cores | "
-        f"{t_hi / t_lo:.2f}× |\n"
-        f"| **scaling efficiency (target ≥ 0.8)** | **{eff:.3f}** |\n")
     mode = "a" if os.path.exists(md) else "w"
     with open(md, mode) as fh:
-        fh.write(block)
+        fh.write(md_block)
     return 0
 
 

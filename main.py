@@ -39,6 +39,9 @@ LAYERED = {
     "compact_every": (int, 8),
     "datasets": (str, "tokens,ttl"),
     "master": (str, None),
+    # ≙ the reference's --metrics-port admin server (cmd/root.go flags +
+    # internal/main.go:94-116); None disables, 0 binds an ephemeral port
+    "metrics_port": (int, None),
 }
 
 
@@ -74,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "doc_events for the contract-events-analog "
                          "table)")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--metrics-port", type=int, default=None,
+                    help="serve live gauges over HTTP on this port while "
+                         "the job runs (0 = ephemeral, reported on "
+                         "stdout; ≙ the reference's admin server, "
+                         "internal/main.go:94-116)")
     ap.add_argument("--synthesize", type=int, default=0, metavar="N_EVENTS",
                     help="generate a deterministic stream at --events-path "
                          "first (seed=42)")
@@ -90,6 +98,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="micro-batch width in files (files are seq-range-"
                          "named and mtime-ordered by the writer, so any "
                          "value preserves seq order)")
+    sp.add_argument("--follow", action="store_true",
+                    help="run-forever tail (≙ UnboundedRange, internal/"
+                         "input/ledgerMetaDataReader.go:83-93): keep "
+                         "polling for new source files on a processingTime "
+                         "trigger until SIGINT; first ^C stops after the "
+                         "in-flight micro-batch, exit 130")
+    sp.add_argument("--poll-interval", type=float, default=2.0,
+                    help="processingTime trigger interval in seconds "
+                         "(--follow mode)")
     sp.add_argument("--salt-buckets", type=int, default=None)
     sp.add_argument("--num-buckets", type=int, default=None)
     sp.add_argument("--write-mode", choices=("mor", "cow"), default=None)
@@ -101,6 +118,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--compact-every", type=int, default=None)
     sp.add_argument("--datasets", default=None)
     sp.add_argument("--master", default=None)
+    sp.add_argument("--metrics-port", type=int, default=None)
     ip = sub.add_parser("inspect", help="print warehouse state gauges as "
                                         "one JSON object (the reference's "
                                         "Prometheus gauge surface, internal/"
@@ -300,6 +318,53 @@ def cmd_maintenance(args: argparse.Namespace) -> int:
     return 0
 
 
+class _GaugesHttpServer:
+    """Serve the live gauge file over HTTP while a job runs — the analog
+    of the reference's admin server on --metrics-port answering Prometheus
+    scrapes DURING indexing (internal/main.go:94-116 + metrics registry
+    internal/utils/metrics.go:32-152). The file-based ``_gauges.json`` is
+    the source of truth (atomic replace, zero-JVM); this thread only
+    makes it reachable from another host. GET / (or /metrics, /gauges)
+    returns the current JSON; port 0 binds an ephemeral port (reported
+    by ``.port``). Shut down in the drain path like the reference's
+    server drain (internal/main.go:201-208)."""
+
+    def __init__(self, warehouse: str, port: int):
+        import http.server
+        import threading
+        gpath = os.path.join(warehouse, "_gauges.json")
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):             # noqa: N802 (stdlib casing)
+                if self.path not in ("/", "/metrics", "/gauges"):
+                    self.send_error(404)
+                    return
+                try:
+                    with open(gpath, "rb") as fh:
+                        body = fh.read()
+                except OSError:
+                    body = b"{}"          # job not past its first epoch yet
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):  # quiet: gauges, not access logs
+                pass
+
+        self._server = http.server.ThreadingHTTPServer(("127.0.0.1", port),
+                                                       Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def close(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+
 class _SigintDrain:
     """Graceful SIGINT (≙ the reference's context-cancel + admin-server
     drain, internal/main.go:106-107,201-208): the FIRST Ctrl-C lets the
@@ -350,7 +415,12 @@ def cmd_append(args: argparse.Namespace) -> int:
         StreamSpec, write_change_events)
 
     spark = get_spark(app="sldi-append", master=args.master)
+    srv = None
     try:
+        if args.metrics_port is not None:
+            srv = _GaugesHttpServer(args.warehouse, args.metrics_port)
+            print(json.dumps({"status": "metrics-server",
+                              "port": srv.port}), flush=True)
         if args.synthesize:
             write_change_events(spark, args.events_path,
                                 StreamSpec(n_events=args.synthesize))
@@ -388,6 +458,8 @@ def cmd_append(args: argparse.Namespace) -> int:
                           "target_snapshot": job.target.version}))
         return 0
     finally:
+        if srv is not None:
+            srv.close()
         spark.stop()
 
 
@@ -404,10 +476,16 @@ def cmd_stream(args: argparse.Namespace) -> int:
         stream_replay)
 
     spark = get_spark(app="sldi-stream", master=args.master)
+    srv = None
     try:
+        if args.metrics_port is not None:
+            srv = _GaugesHttpServer(args.warehouse, args.metrics_port)
+            print(json.dumps({"status": "metrics-server",
+                              "port": srv.port}), flush=True)
         # IngestJob opens/creates + auto-evolves the target and control
         # tables; the streaming sink reuses its target
         job = IngestJob(spark, _job_config(args))
+        follow = getattr(args, "follow", False)
         q = stream_replay(
             spark, args.events_path, job.target,
             checkpoint_dir=os.path.join(args.warehouse,
@@ -418,14 +496,39 @@ def cmd_stream(args: argparse.Namespace) -> int:
             extra_datasets=[(s, job.extra_tables[s.name])
                             for s in job.datasets if s.kind == "upsert"],
             enrich=any(s.kind == "enrich" for s in job.datasets),
-            compact_every=args.compact_every)
-        q.awaitTermination()
+            compact_every=args.compact_every,
+            follow=(f"{args.poll_interval} seconds" if follow else None),
+            gauges_path=os.path.join(args.warehouse, "_gauges.json"))
+        rc = 0
+        if follow:
+            # run-forever tail: poll-loop awaitTermination so the SIGINT
+            # handler can fire between short blocking calls; on drain,
+            # stop() ends the query (a micro-batch cut mid-flight is
+            # safe — merge commits are atomic and the replay after
+            # restart is an LWW no-op, the same convergence the crash
+            # tests pin)
+            with _SigintDrain() as drain:
+                while not drain.requested:
+                    if q.awaitTermination(0.5):
+                        break          # query ended on its own (error)
+            if drain.requested:
+                q.stop()
+                q.awaitTermination()
+                rc = 130
+            elif q.exception() is not None:
+                raise q.exception()
+        else:
+            q.awaitTermination()
         n = job.target.read(spark).count()
-        print(json.dumps({"status": "done", "mode": "stream",
+        print(json.dumps({"status": ("interrupted" if rc else "done"),
+                          "mode": "stream", "follow": follow,
                           "target_rows": n,
-                          "target_snapshot": job.target.refresh().version}))
-        return 0
+                          "target_snapshot": job.target.refresh().version}),
+              flush=True)
+        return rc
     finally:
+        if srv is not None:
+            srv.close()
         spark.stop()
 
 

@@ -14,8 +14,9 @@ block never mixes languages); at 100 TB one group would be petabytes,
 so ``shards`` sub-divides each group by ``xxhash64(order_col) % shards``
 into independent streams packed in parallel — block counts then obey
 the same conservation law per (group, shard). Inside a group the fold
-is vectorized (pandas str.split + one numpy concatenate + one reshape),
-not per-token Python.
+is fully vectorized: EOS appended per document with one pandas string
+op, the stream joined into one string (C-level str.cat) and split once,
+then a single reshape — no per-document or per-token Python loop.
 
 Conservation law (the oracle for correctness): with block size B, a
 stream holding documents with token counts n_i packs into
@@ -60,13 +61,15 @@ def pack_blocks(df: DataFrame, block_size: int = 256,
         pdf = pdf.sort_values("_ord", kind="mergesort")
         grp = pdf["_grp"].iloc[0]
         shard = int(pdf["_shard"].iloc[0])
-        toks = pdf["_txt"].fillna("").str.strip().str.split()
-        pieces = []
-        for t in toks:                       # per-document, not per-token
-            if t:
-                pieces.append(np.asarray(t, dtype=object))
-            pieces.append(np.asarray([EOS], dtype=object))
-        stream = np.concatenate(pieces) if pieces else np.empty(0, object)
+        # fully vectorized EOS interleave (VERDICT r3 item 6): append the
+        # EOS marker to every document, join the whole stream into ONE
+        # string (C-level str.cat), split once. An empty document
+        # contributes exactly its EOS (strip → "" → " <eos>" token),
+        # identical to the former per-document loop.
+        docs = pdf["_txt"].fillna("").str.strip()
+        joined = (docs + " " + EOS).str.cat(sep=" ")
+        stream = np.array(joined.split(), dtype=object) if joined \
+            else np.empty(0, object)
         n_full = len(stream) // block_size
         body = stream[:n_full * block_size].reshape(n_full, block_size)
         rows = {"group": [grp] * n_full, "shard": [shard] * n_full,

@@ -133,9 +133,15 @@ class IngestJob:
         # enrichment-less targets on purpose (pre-20260203 parity).
         pre_ttl = T.StructType(
             [f for f in TARGET.fields if f.name != "live_until"])
+        # write_order ≙ the reference's sort-order index tuning
+        # (ORDER BY durability DESC, key_hash DESC served by index,
+        # 20260211-add-additional-lab-backend-indexes-1.sql:8-10):
+        # rows sorted (source, seq DESC) within each written file so
+        # source/seq-filtered downstream reads prune row groups
         self.target, existed = LakeTable.open_or_create(
             tpath, pre_ttl if LakeTable.exists(tpath) else TARGET,
-            bucket_col="doc_id", num_buckets=cfg.num_buckets)
+            bucket_col="doc_id", num_buckets=cfg.num_buckets,
+            properties={"write_order": "source,-seq"})
         # registered datasets in dependency order (≙ the ordered
         # processor list, internal/main.go:127-144); each "upsert"
         # dataset owns an independent bucketed table in the warehouse
@@ -231,9 +237,19 @@ class IngestJob:
     # ------------------------------------------------------------- resume
     def max_seq_in_sink(self) -> int:
         """≙ GetMaxLedgerSequence (S3, internal/db/utils.go:61-71) with the
-        empty-table → 0 convention (internal/main.go:170-174)."""
-        if not self.target.refresh().files:
+        empty-table → 0 convention (internal/main.go:170-174).
+
+        Answered from the manifest's per-file max_seq stats when every
+        live file carries them — no Spark job. Exact under merge-on-read:
+        the LWW condition only ever replaces a row with one of greater or
+        equal (seq, pos), so the max over ALL physical rows (what file
+        stats bound) equals the max over live rows."""
+        files = self.target.refresh().files
+        if not files:
             return 0
+        stats = [f.max_seq for f in files]
+        if stats and all(s is not None for s in stats):
+            return int(max(stats))
         row = self.target.read(self.spark).agg(
             F.coalesce(F.max("seq"), F.lit(0)).alias("m")).collect()[0]
         return int(row["m"])

@@ -46,10 +46,22 @@ def stream_replay(spark: SparkSession, events_path: str, target: LakeTable,
                   mor: bool = False,
                   extra_datasets: list | None = None,
                   enrich: bool = True,
-                  compact_every: int = 8):
+                  compact_every: int = 8,
+                  follow: str | None = None,
+                  gauges_path: str | None = None):
     """Start a streaming replay into ``target``. Returns the
     StreamingQuery; callers drive it with processAllAvailable()/stop()
     (tests) or awaitTermination() (production tail).
+
+    ``follow``: None (default) runs an availableNow catch-up — process
+    everything currently in the source, then stop. A trigger interval
+    string (e.g. ``"2 seconds"``) switches to the run-forever tail: a
+    processingTime trigger keeps polling the source directory for new
+    seq-aligned files until the query is stopped — the reference's
+    UnboundedRange mode, which consumes until terminated
+    (internal/input/ledgerMetaDataReader.go:83-93 + run loop :95-124).
+    Stopping mid-micro-batch is safe: every merge commit is atomic and
+    idempotent (LWW), so the replayed batch after restart converges.
 
     Ordering contract: the BASE stage tolerates a seq split across two
     foreachBatch invocations (the merge's lexicographic (seq, pos) LWW
@@ -81,12 +93,18 @@ def stream_replay(spark: SparkSession, events_path: str, target: LakeTable,
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     events = reader.parquet(events_path)
 
+    totals = {"batches": 0, "rows": 0, "max_seq": 0}
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+        import os
+        import time
+
         from ..operators.merge import merge_upsert_generic
 
-        apply_change_batch(batch_df.sparkSession, target, batch_df,
-                           salt_buckets=salt_buckets, mor=mor,
-                           enrich=enrich)
+        mres, _eres, _walls = apply_change_batch(
+            batch_df.sparkSession, target, batch_df,
+            salt_buckets=salt_buckets, mor=mor, enrich=enrich)
         for spec, tbl in (extra_datasets or []):
             batch = spec.dedup(spec.project(batch_df))
             merge_upsert_generic(batch_df.sparkSession, tbl, batch,
@@ -95,12 +113,33 @@ def stream_replay(spark: SparkSession, events_path: str, target: LakeTable,
             for tbl in (target, *(t for _s, t in (extra_datasets or []))):
                 if tbl.delta_depth() >= compact_every:
                     tbl.compact(batch_df.sparkSession)
+        if gauges_path:
+            # micro-batch ≙ epoch: same poll-while-running surface the
+            # batch job writes (IngestJob._write_gauges) so `inspect`'s
+            # live block and the --metrics-port HTTP server work under
+            # the stream verb too. batch_df is file-bounded; the seq agg
+            # is one pruned-column scan of those files.
+            row = batch_df.agg(F.max("seq").alias("m")).collect()[0]
+            totals["batches"] += 1
+            totals["rows"] += mres.rows_upserted
+            totals["max_seq"] = max(totals["max_seq"], int(row["m"] or 0))
+            tmp = gauges_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"phase": "committed", "epoch_id": batch_id,
+                           "epochs_done": totals["batches"],
+                           "rows_upserted_total": totals["rows"],
+                           "max_seq_indexed": totals["max_seq"],
+                           "updated_at": time.time()}, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, gauges_path)
 
-    return (events.writeStream
-            .foreachBatch(sink)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start())
+    writer = (events.writeStream
+              .foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_dir))
+    writer = (writer.trigger(processingTime=follow) if follow
+              else writer.trigger(availableNow=True))
+    return writer.start()
 
 
 def windowed_event_metrics(spark: SparkSession, events_path: str,
