@@ -125,7 +125,11 @@ def run_burn_probe(n: int, iters: int = 2_000_000,
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--events", type=int, default=2_000_000)
+    ap.add_argument("--events", type=int, default=None,
+                    help="replay probe: change events (default 2M); cpu "
+                         "probe: rows (default 50M — a 2M-row cpu probe "
+                         "walls ~0.3 s and measures scheduling noise, "
+                         "not scaling)")
     ap.add_argument("--probe", choices=("replay", "cpu"), default="replay",
                     help="replay = the full pipeline; cpu = compute-dense "
                          "dataflow isolating task-execution scaling from "
@@ -136,6 +140,8 @@ def main() -> int:
     ap.add_argument("--json-out", default=None,
                     help="also write the result object to this path")
     args = ap.parse_args()
+    if args.events is None:
+        args.events = 50_000_000 if args.probe == "cpu" else 2_000_000
 
     # same-day ceiling measured FIRST, in the same climate window as the
     # probe that follows

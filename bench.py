@@ -35,7 +35,8 @@ QUERY_NAMES = [
     "join_agg_shuffle", "broadcast_dim_join", "topn_orders",
     "rollup_pricing", "topk_per_group", "anti_join_unordered_parts",
     "semi_join_heavy_parts", "distinct_agg_supplier",
-    "running_total_orders", "q3_shipping_priority",
+    "running_total_orders", "lag_gap_events", "except_urgent_custs",
+    "q3_shipping_priority",
     "exact_dedup", "token_count", "token_count_bpe", "text_stats", "lang_id",
     "ngram_jaccard_pairs", "embedding_neardup", "cosine_knn",
     "minhash_pairs", "simhash_signatures",
@@ -54,37 +55,51 @@ def sf_of(path: str) -> float:
 
 def bench_replay(spark, n_events: int, work_dir: str,
                  parallelism: int) -> dict:
-    """Timed section: replay only (generation is setup)."""
+    """Timed section: replay only (generation is setup). Best-of-N
+    replays (SLDI_BENCH_REPLAY_REPS, default 2, fresh warehouse each):
+    the headline throughput is the engine's cost, not the steal
+    window's — same-day single-shot replays swing 2× on this box
+    (67.3k vs 32.6k ev/s measured hours apart at identical config)."""
     events_path = os.path.join(work_dir, "change_events")
     spec = StreamSpec(n_events=n_events, n_docs=max(n_events // 12, 1000),
                       events_per_seq=max(n_events // 40, 100),
                       tok_len_min=8, tok_len_max=64)
     write_change_events(spark, events_path, spec, partitions=parallelism * 2)
-    wh = os.path.join(work_dir, "warehouse")
-    shutil.rmtree(wh, ignore_errors=True)
-    # num_buckets fixed (not a function of parallelism) so scaling runs
-    # compare identical workloads
-    job = IngestJob(spark, JobConfig(
-        events_path=events_path, warehouse=wh, num_buckets=64,
-        epoch_size=max((n_events // spec.events_per_seq)
-                       // int(os.environ.get("SLDI_BENCH_EPOCHS", "4")) + 1, 1)))
-    t0 = time.monotonic()
-    reports = job.run(start=2, end=0, backfill=True)
-    wall = time.monotonic() - t0
-    merge_bytes = sum((m["bytes_written"] or 0)
-                      for m in job.metrics.read_latest())
-    table_bytes = job.target.refresh().table_bytes()
-    return {"replay_sec": round(wall, 3),
-            "events": n_events,
-            "events_per_sec": round(n_events / wall, 1),
-            "epochs": len(reports),
-            "rows_upserted": sum(r.rows_upserted for r in reports),
-            # merge-on-read write-amplification signal: bytes committed by
-            # merges across the run vs final live table size (CoW would
-            # commit ~epochs × table_bytes for uniform-key epochs)
-            "merge_bytes_written": merge_bytes,
-            "table_bytes": table_bytes,
-            "write_amplification": round(merge_bytes / max(table_bytes, 1), 2)}
+    reps = max(int(os.environ.get("SLDI_BENCH_REPLAY_REPS", "2")), 1)
+    best = None
+    for _ in range(reps):
+        wh = os.path.join(work_dir, "warehouse")
+        shutil.rmtree(wh, ignore_errors=True)
+        # num_buckets fixed (not a function of parallelism) so scaling
+        # runs compare identical workloads
+        job = IngestJob(spark, JobConfig(
+            events_path=events_path, warehouse=wh, num_buckets=64,
+            epoch_size=max((n_events // spec.events_per_seq)
+                           // int(os.environ.get("SLDI_BENCH_EPOCHS", "4"))
+                           + 1, 1)))
+        t0 = time.monotonic()
+        reports = job.run(start=2, end=0, backfill=True)
+        wall = time.monotonic() - t0
+        if best is not None and wall >= best["replay_sec"]:
+            continue
+        merge_bytes = sum((m["bytes_written"] or 0)
+                          for m in job.metrics.read_latest())
+        table_bytes = job.target.refresh().table_bytes()
+        best = {"replay_sec": round(wall, 3),
+                "events": n_events,
+                "events_per_sec": round(n_events / wall, 1),
+                "epochs": len(reports),
+                "rows_upserted": sum(r.rows_upserted for r in reports),
+                # merge-on-read write-amplification signal: bytes
+                # committed by merges across the run vs final live table
+                # size (CoW would commit ~epochs × table_bytes for
+                # uniform-key epochs)
+                "merge_bytes_written": merge_bytes,
+                "table_bytes": table_bytes,
+                "write_amplification": round(merge_bytes
+                                             / max(table_bytes, 1), 2),
+                "reps": reps}
+    return best
 
 
 def bench_queries(spark) -> dict[str, float]:

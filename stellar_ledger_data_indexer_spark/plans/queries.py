@@ -541,6 +541,44 @@ def running_total_orders(spark, sf):
         .over(w).cast("bigint").alias("running_c"))
 
 
+@_q("lag_gap_events", """
+SELECT user_id, event_id,
+       event_id - lag(event_id) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS gap
+FROM events WHERE user_id < 100
+""")
+def lag_gap_events(spark, sf):
+    """Offset window function (LAG): per-user gap between consecutive
+    event ids in time order — a WindowExec shape the rank/frame entries
+    don't cover (physical offset lookup within the partition, no frame
+    scan). Deterministic order via the (ts, event_id) tie-break; first
+    row per user yields NULL identically on both engines. Sliced to
+    user_id < 100 to bound the oracle at any sf."""
+    e = _t(spark, sf, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_id",
+        (F.col("event_id") - F.lag("event_id").over(w)).alias("gap"))
+
+
+@_q("except_urgent_custs", """
+SELECT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""")
+def except_urgent_custs(spark, sf):
+    """Set operation (EXCEPT DISTINCT): customers that ordered but never
+    urgently — the set-difference operator shape (Spark plans a
+    left-anti join over distinct keys; both branches prune to the key
+    column at the scan). Complements the join-form anti join entry with
+    the algebraic set-op form."""
+    o = _t(spark, sf, "orders")
+    all_c = o.select(F.col("o_custkey").alias("custkey"))
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("custkey")))
+    return all_c.subtract(urgent)   # EXCEPT (distinct) ≡ subtract
+
+
 # -------------------------------------------------- training-data pipeline
 
 _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
