@@ -41,7 +41,8 @@ QUERY_NAMES = [
     "ngram_jaccard_pairs", "embedding_neardup", "cosine_knn",
     "minhash_pairs", "simhash_signatures",
     "minhash_lsh_verified", "simhash_neardup_recall", "cosine_lsh_recall",
-    "cosine_ivf_recall", "sequence_pack_stats", "curation_pipeline",
+    "cosine_ivf_recall", "neardup_clusters", "sequence_pack_stats",
+    "curation_pipeline",
 ]
 
 

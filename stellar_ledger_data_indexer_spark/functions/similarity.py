@@ -180,6 +180,52 @@ def cosine_topk_ivf(emb: DataFrame, query: list[float], k: int = 10,
             .orderBy(F.desc("score"), F.col(id_col)).limit(k))
 
 
+def write_ivf_index(emb: DataFrame, path: str, dim: int,
+                    n_centroids: int = 8, seed: int = 42,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> np.ndarray:
+    """Materialize the IVF scale path: assign every vector its coarse
+    cell (one Arrow-batched matmul per batch) and write the corpus
+    parquet-partitioned by ``_cell``. This is the claim the in-memory
+    ``cosine_topk_ivf`` docstring makes — "at 100 TB the cell is a
+    partition column" — as working storage: a probe-limited search then
+    touches only ``n_probe / n_centroids`` of the data via DIRECTORY
+    pruning (no file even opened outside the probed cells; asserted via
+    inputFiles in tests). Returns the centroid matrix so searchers and
+    writer provably share the quantizer."""
+    cents = ivf_centroids(dim, n_centroids, seed)
+    (emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_cell", ivf_assign(F.col(vec_col), cents))
+        .write.partitionBy("_cell").mode("overwrite").parquet(path))
+    return cents
+
+
+def search_ivf_index(spark, path: str, query: list[float], k: int = 10,
+                     n_centroids: int = 8, n_probe: int = 2,
+                     seed: int = 42, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Probe-limited search over a ``write_ivf_index`` table: rank cells
+    against the query driver-side (tiny centroid matrix, no Spark job),
+    scan ONLY the probed partitions (partition pruning on the ``_cell``
+    directory column), brute-force cosine within. Same scoring and
+    tie-breaks as ``cosine_topk_ivf`` — the two are interchangeable, one
+    computes the cell per read, this one amortizes it into the layout."""
+    cents = ivf_centroids(len(query), n_centroids, seed)
+    qv = np.asarray(query, dtype="float64")
+
+    def cos(c):
+        d = np.linalg.norm(c) * np.linalg.norm(qv)
+        return float(np.dot(c, qv) / d) if d else 0.0
+    probe = sorted(range(len(cents)),
+                   key=lambda i: (-cos(cents[i]), i))[:n_probe]
+    cand = (spark.read.parquet(path)
+            .filter(F.col("_cell").isin(probe)))
+    q = _lit_vec(query)
+    return (cand.select(F.col(id_col),
+                        F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+            .orderBy(F.desc("score"), F.col(id_col)).limit(k))
+
+
 def embedding_neardup_pairs(emb: DataFrame, dim: int,
                             threshold: float = 0.95,
                             id_col: str = "vec_id",

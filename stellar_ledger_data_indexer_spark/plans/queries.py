@@ -1147,6 +1147,65 @@ def minhash_pairs(spark, sf):
         .alias("bands_ok"))
 
 
+@_q("neardup_clusters", f"""
+WITH {_TWIN_CORPUS_SQL},
+norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      ' ') AS words
+  FROM corpus),
+gr AS (
+  SELECT doc_id,
+         unnest(list_transform(list_zip(words, words[2:]),
+                               x -> x[1] || ' ' || x[2])) AS gram
+  FROM norm),
+g AS (SELECT DISTINCT doc_id, gram FROM gr WHERE gram IS NOT NULL),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+tw AS (
+  SELECT a.doc_id AS id, COUNT(*) AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND b.doc_id = a.doc_id + 1000000
+  GROUP BY 1),
+q AS (
+  SELECT id FROM tw JOIN sizes sa ON sa.doc_id = id
+            JOIN sizes sb ON sb.doc_id = id + 1000000
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5)
+SELECT c.doc_id,
+       CASE WHEN c.doc_id >= 1000000
+              AND (c.doc_id - 1000000) IN (SELECT id FROM q)
+            THEN c.doc_id - 1000000
+            ELSE c.doc_id END AS component
+FROM corpus c
+""")
+def neardup_clusters_q(spark, sf):
+    """Near-dup CLUSTER formation — the iterative-algorithm operator
+    (min-label-propagation connected components,
+    functions/graph.py::connected_components) value-oracled end to end:
+    verified near-dup pairs (exact bigram Jaccard ≥ 0.5 on the twin
+    corpus) fold into components, every corpus doc maps to its
+    component's min id (its twin's base id when the pair qualifies,
+    itself otherwise — DuckDB computes the same mapping in closed form
+    because twin edges are disjoint; the distributed CC must reproduce
+    it exactly, and its convergence/multi-round behavior is pinned by
+    test_connected_components_and_neardup_clusters on a diameter-4
+    chain). Downstream dedup keeps doc_id == component."""
+    from ..functions.graph import neardup_clusters
+    corpus = _twin_corpus(spark, sf)
+    grams = corpus.select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.col("text"), 2)).alias("g"))
+    a = grams.filter(F.col("doc_id") < 1000000).select(
+        F.col("doc_id").alias("id"), F.col("g").alias("ga"))
+    b = grams.filter(F.col("doc_id") >= 1000000).select(
+        (F.col("doc_id") - 1000000).alias("id"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    pairs = (a.join(b, "id")
+             .filter(inter * F.lit(1.0) / union >= 0.5)
+             .select(F.col("id").alias("id_a"),
+                     (F.col("id") + 1000000).alias("id_b")))
+    return neardup_clusters(corpus.select("doc_id"), pairs)
+
+
 @_q("simhash_signatures", f"""
 SELECT COUNT(DISTINCT md5({_NORM_SQL})) AS n_fp_groups, TRUE AS consistent_ok
 FROM documents

@@ -148,6 +148,27 @@ def test_minhash_pairs_arrow_mode(spark):
         minhash_candidate_pairs(df, sig_mode="nope")
 
 
+def test_connected_components_and_neardup_clusters(spark):
+    """Min-label propagation: a diameter-4 chain needs multiple rounds,
+    disjoint pairs converge fast, labels are the component-min id, and
+    neardup_clusters maps isolated docs to themselves."""
+    from stellar_ledger_data_indexer_spark.functions.graph import (
+        connected_components, neardup_clusters)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long")
+    comp = {r["node"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 10, 11, 99)],
+                                 "doc_id long")
+    cl = {r["doc_id"]: r["component"]
+          for r in neardup_clusters(docs, edges).collect()}
+    assert cl[99] == 99 and cl[5] == 1 and cl[11] == 10
+    # canonical-keep rule: one survivor per cluster
+    keep = {d for d, c in cl.items() if d == c}
+    assert keep == {1, 10, 99}
+
+
 def test_simhash_hamming(spark):
     base = "spark merge window agg filter join scan shuffle broadcast skew"
     docs = [(1, base, "s"), (2, base + " extra", "s"),
@@ -227,6 +248,43 @@ def test_lsh_ivf_assignment_at_dim_256(spark):
     for df in (lsh_df, ivf_df):
         plan = df._jdf.queryExecution().analyzed().toString()
         assert len(plan) < 60_000
+
+
+def test_ivf_index_partition_pruned_search(spark, tmp_path):
+    """The persisted IVF scale path: write_ivf_index partitions the
+    corpus by coarse cell; search_ivf_index must (a) return exactly the
+    brute-force top-k on a planted-neighbor corpus and (b) physically
+    scan ONLY the probed cell directories — partition pruning, the
+    storage-level form of the 'cell is a partition column at 100 TB'
+    claim."""
+    from stellar_ledger_data_indexer_spark.functions.similarity import (
+        search_ivf_index, write_ivf_index)
+    rng = np.random.RandomState(5)
+    dim = 64
+    base = rng.randn(300, dim).astype("float32")
+    q = rng.randn(dim).astype("float32")
+    planted = (0.9 * q[None, :] + 0.1 * base[:20]).astype("float32")
+    rows = ([(i, [float(x) for x in v]) for i, v in enumerate(base)]
+            + [(10000 + i, [float(x) for x in v])
+               for i, v in enumerate(planted)])
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(e, path, dim=dim, n_centroids=8)
+    qv = [float(x) for x in q]
+    brute = [r["vec_id"] for r in cosine_topk(e, qv, k=10).collect()]
+    res = search_ivf_index(spark, path, qv, k=10, n_centroids=8, n_probe=3)
+    assert [r["vec_id"] for r in res.collect()] == brute
+    # directory pruning: the scan's PartitionFilters restrict to the
+    # n_probe cells (inputFiles() is plan-level and ignores partition
+    # pruning, so assert on the executed plan's FileScan node)
+    import os
+    import re
+    cells_on_disk = {d for d in os.listdir(path) if d.startswith("_cell=")}
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[_cell#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan[:2000]
+    probed = {c.strip() for c in m.group(1).split(",")}
+    assert len(probed) <= 3 < len(cells_on_disk)
 
 
 def test_embedding_neardup_pairs_plans_without_jobs(spark):
