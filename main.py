@@ -129,6 +129,24 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also report the source tip (parquet footer "
                          "stats, no scan)")
     ip.add_argument("--last-epochs", type=int, default=5)
+    rd = sub.add_parser("read", help="query a warehouse table: "
+                                     "merge-on-read resolution + seq-range "
+                                     "file skipping (manifest min/max "
+                                     "stats) — the downstream read surface "
+                                     "the reference serves via its indexed "
+                                     "Postgres table")
+    rd.add_argument("--warehouse", required=True)
+    rd.add_argument("--table", default="documents")
+    rd.add_argument("--seq-lo", type=int, default=None)
+    rd.add_argument("--seq-hi", type=int, default=None)
+    rd.add_argument("--columns", default=None,
+                    help="comma-separated projection")
+    rd.add_argument("--where", default=None,
+                    help="SQL boolean expression filter")
+    rd.add_argument("--order", default=None,
+                    help="comma-separated sort (prefix - for desc)")
+    rd.add_argument("--limit", type=int, default=0, help="0 = all rows")
+    rd.add_argument("--master", default=None)
     for verb, hlp in (
             ("compact", "fold merge-on-read deltas / coalesce small files "
                         "per bucket (Spark job; state unchanged)"),
@@ -279,6 +297,53 @@ def resolve_config(args: argparse.Namespace) -> argparse.Namespace:
             val = default
         setattr(args, key, val)
     return args
+
+
+def cmd_read(args: argparse.Namespace) -> int:
+    """Query one warehouse table from the CLI: the downstream read path
+    (MoR resolution, seq-range file skipping, projection/filter pushed
+    to the scan) — ≙ the reads the reference's index set serves
+    (internal/db/migrations/20260211-…-1.sql:8-10). One JSON object per
+    row on stdout, a summary line on stderr."""
+    from pyspark.sql import functions as F
+
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+    from stellar_ledger_data_indexer_spark.session import get_spark
+
+    tpath = os.path.join(args.warehouse, args.table)
+    if not LakeTable.exists(tpath):
+        print(json.dumps({"error": "no such table", "table": args.table}),
+              file=sys.stderr)
+        return 2
+    spark = get_spark(app="sldi-read", master=args.master)
+    try:
+        t = LakeTable(tpath)
+        seq_range = None
+        if args.seq_lo is not None or args.seq_hi is not None:
+            seq_range = (args.seq_lo if args.seq_lo is not None else 0,
+                         args.seq_hi if args.seq_hi is not None
+                         else (1 << 62))
+        df = t.read(spark, seq_range=seq_range)
+        if args.where:
+            df = df.filter(args.where)
+        if args.columns:
+            df = df.select(*[c.strip() for c in args.columns.split(",")
+                             if c.strip()])
+        if args.order:
+            cols = [F.col(c[1:]).desc() if c.startswith("-") else F.col(c)
+                    for c in (s.strip() for s in args.order.split(","))
+                    if c]
+            df = df.orderBy(*cols)
+        if args.limit:
+            df = df.limit(args.limit)
+        rows = df.collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        print(json.dumps({"rows": len(rows), "table": args.table,
+                          "snapshot": t.version}), file=sys.stderr)
+        return 0
+    finally:
+        spark.stop()
 
 
 def cmd_maintenance(args: argparse.Namespace) -> int:
@@ -536,6 +601,8 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.cmd == "inspect":
         return cmd_inspect(args)
+    if args.cmd == "read":
+        return cmd_read(args)
     if args.cmd in ("compact", "expire-snapshots", "vacuum"):
         return cmd_maintenance(args)
     args = resolve_config(args)

@@ -55,6 +55,35 @@ def dedup_exact(docs: DataFrame, text_col: str = "text",
     return docs.join(w.select(id_col), id_col, "inner")
 
 
+def dedup_neardup(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 2,
+                  threshold: float = 0.5, num_perm: int = 32,
+                  num_bands: int = 16, seed: int = 7,
+                  max_bucket: int | None = 200) -> DataFrame:
+    """End-to-end near-duplicate removal — the full production pipeline
+    in one call: MinHash+LSH candidate generation → exact n-gram-Jaccard
+    verification of ONLY the candidate pairs → connected-components
+    cluster formation (near-dup is transitive) → keep the canonical
+    (min-id) document per cluster. Every stage is the bounded/blocked
+    form: the shuffle never carries more than (bucket, id) pairs plus
+    the candidate set's gram arrays, and clustering is O(diameter)
+    rounds over the verified edges only."""
+    from .graph import neardup_clusters
+    cands = minhash_candidate_pairs(docs, text_col=text_col, id_col=id_col,
+                                    shingle_n=3, num_perm=num_perm,
+                                    num_bands=num_bands, seed=seed,
+                                    max_bucket=max_bucket)
+    verified = ngram_jaccard_pairs(docs, text_col=text_col, id_col=id_col,
+                                   shingle_n=shingle_n,
+                                   threshold=threshold, candidates=cands)
+    clusters = neardup_clusters(docs.select(F.col(id_col)),
+                                verified.select("id_a", "id_b"),
+                                id_col=id_col)
+    keep = (clusters.filter(F.col(id_col) == F.col("component"))
+            .select(id_col))
+    return docs.join(keep, id_col, "inner")
+
+
 # ------------------------------------------------------------- shingles
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Array of word n-gram strings (lowercased, whitespace-tokenized) —

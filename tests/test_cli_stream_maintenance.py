@@ -305,6 +305,41 @@ def test_sigint_drains_current_epoch(tmp_path):
         == out2["gauges"]["max_seq_in_source"]
 
 
+def test_cli_read_verb_seq_range_and_projection(spark, tmp_path):
+    """`read` exposes the downstream read path from the CLI: MoR
+    resolution + seq-range file skipping + projection/filter/order/limit.
+    Output must match an in-process LakeTable.read of the same range."""
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+    events = str(tmp_path / "events")
+    wh = str(tmp_path / "wh")
+    r = _run(["append", "--events-path", events, "--warehouse", wh,
+              "--synthesize", "20000", "--start", "2", "--end", "0",
+              "--epoch-size", "50", "--num-buckets", "8",
+              "--master", "local[4]"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    t = LakeTable(os.path.join(wh, "documents"))
+    expect = sorted(
+        (r2["doc_id"], r2["seq"]) for r2 in
+        t.read(spark, seq_range=(50, 120)).select("doc_id", "seq").collect())
+    out = _run(["read", "--warehouse", wh, "--seq-lo", "50", "--seq-hi",
+                "120", "--columns", "doc_id,seq", "--order", "doc_id",
+                "--master", "local[4]"])
+    assert out.returncode == 0, out.stderr[-2000:]
+    got = [json.loads(ln) for ln in out.stdout.splitlines() if ln.strip()]
+    assert sorted((g["doc_id"], g["seq"]) for g in got) == expect
+    assert [g["doc_id"] for g in got] == sorted(g["doc_id"] for g in got)
+    summary = json.loads(out.stderr.splitlines()[-1])
+    assert summary["rows"] == len(expect) > 0
+    # --where + --limit compose; unknown table errors cleanly
+    out2 = _run(["read", "--warehouse", wh, "--where", "deleted",
+                 "--limit", "3", "--columns", "doc_id,deleted",
+                 "--master", "local[4]"])
+    assert out2.returncode == 0
+    rows2 = [json.loads(ln) for ln in out2.stdout.splitlines() if ln.strip()]
+    assert len(rows2) <= 3 and all(r3["deleted"] for r3 in rows2)
+    assert _run(["read", "--warehouse", wh, "--table", "nope"]).returncode == 2
+
+
 # ----------------------------------------------------- maintenance verbs
 def _fingerprint(spark, wh):
     from stellar_ledger_data_indexer_spark.lake.table import LakeTable

@@ -148,6 +148,26 @@ def test_minhash_pairs_arrow_mode(spark):
         minhash_candidate_pairs(df, sig_mode="nope")
 
 
+def test_dedup_neardup_end_to_end(spark):
+    """Full near-dup removal: LSH candidates → exact verify → clusters →
+    canonical survivors. Transitivity matters: A~B and B~C with A,C not
+    direct candidates must still collapse to one survivor."""
+    from stellar_ledger_data_indexer_spark.functions.dedup_text import \
+        dedup_neardup
+    base = ("spark merge window agg filter join scan shuffle broadcast "
+            "skew epoch bucket manifest snapshot delta compact")
+    docs = [(1, base, "s"),
+            (2, base + " tailA", "s"),             # near-dup of 1
+            (3, base + " tailA tailB", "s"),       # near-dup of 2 (and 1)
+            (7, "completely different words entirely unrelated topic "
+                "nothing shared at all here", "s"),
+            (9, "", "s")]                          # empty doc survives
+    df = spark.createDataFrame(docs, DOC_SCHEMA)
+    kept = sorted(r["doc_id"] for r in dedup_neardup(
+        df, threshold=0.5, num_perm=16, num_bands=8).collect())
+    assert kept == [1, 7, 9]
+
+
 def test_connected_components_and_neardup_clusters(spark):
     """Min-label propagation: a diameter-4 chain needs multiple rounds,
     disjoint pairs converge fast, labels are the component-min id, and
