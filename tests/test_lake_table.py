@@ -276,6 +276,36 @@ def test_seq_range_mor_stale_safety_and_bucket_skip(spark, tmp_path):
     assert a == b
 
 
+def test_seq_range_randomized_parity_with_filter(spark, tmp_path):
+    """Property check: for ANY mix of base commits and stacked deltas
+    and ANY seq range, read(seq_range=R) must equal
+    read().filter(seq in R) — file skipping is a physical optimization,
+    never a semantic one. Seeded random workload, several ranges."""
+    import random
+    rng = random.Random(1234)
+    t = LakeTable.create(str(tmp_path / "srp"), SCHEMA, bucket_col="doc_id",
+                         num_buckets=4)
+    t.append(spark.createDataFrame(
+        [(f"doc{i}", rng.randrange(1, 500), i) for i in range(60)], SCHEMA))
+    for _ in range(3):
+        rows = [(f"doc{rng.randrange(80)}", rng.randrange(1, 1000),
+                 rng.randrange(10_000)) for _ in range(15)]
+        # deltas must be ≤1 row per key per commit
+        rows = list({r[0]: r for r in rows}.values())
+        df = spark.createDataFrame(rows, SCHEMA).withColumn(
+            BUCKET_COL, t.bucket_expr())
+        bl = [r[BUCKET_COL] for r in df.select(BUCKET_COL).collect()]
+        t.append_delta(df, bl)
+    full = t.read(spark).collect()
+    for lo, hi in ((0, 100), (100, 400), (450, 2000), (999, 999),
+                   (5000, 6000)):
+        expect = sorted((r["doc_id"], r["seq"], r["v"]) for r in full
+                        if lo <= r["seq"] <= hi)
+        got = sorted((r["doc_id"], r["seq"], r["v"]) for r in
+                     t.read(spark, seq_range=(lo, hi)).collect())
+        assert got == expect, (lo, hi)
+
+
 def test_mor_resolve_auto_select_by_selection_size(spark, tmp_path,
                                                    monkeypatch):
     """read() picks the MoR strategy from selection size when not pinned
