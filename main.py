@@ -156,7 +156,10 @@ def build_parser() -> argparse.ArgumentParser:
                                  "upkeep, internal/db/migrations/20260225-"
                                  "reindex-contract-data-live-until.sql)"),
             ("vacuum", "delete orphan data files no snapshot references "
-                       "(crash debris) — driver-side, no JVM")):
+                       "(crash debris) — driver-side, no JVM"),
+            ("rollback", "roll a table back to a previous snapshot "
+                         "(new manifest, history preserved) — driver-"
+                         "side, no JVM")):
         mp = sub.add_parser(verb, help=hlp)
         mp.add_argument("--warehouse", required=True)
         mp.add_argument("--table", default="documents")
@@ -168,6 +171,8 @@ def build_parser() -> argparse.ArgumentParser:
             mp.add_argument("--older-than", type=float, default=3600.0,
                             help="only sweep orphans at least this many "
                                  "seconds old (protects in-flight commits)")
+        if verb == "rollback":
+            mp.add_argument("--to-snapshot", type=int, required=True)
     return p
 
 
@@ -347,10 +352,11 @@ def cmd_read(args: argparse.Namespace) -> int:
 
 
 def cmd_maintenance(args: argparse.Namespace) -> int:
-    """compact / expire-snapshots / vacuum on one warehouse table (≙ the
-    reference's post-backfill maintenance migration). State is never
-    changed — only its physical layout; tests pin content fingerprints
-    across each verb."""
+    """compact / expire-snapshots / vacuum / rollback on one warehouse
+    table (≙ the reference's post-backfill maintenance migration).
+    compact/expire/vacuum never change logical state — only physical
+    layout (tests pin content fingerprints across each); rollback
+    restores a previous snapshot's state as a NEW head commit."""
     from stellar_ledger_data_indexer_spark.lake.table import LakeTable
 
     tpath = os.path.join(args.warehouse, args.table)
@@ -370,6 +376,8 @@ def cmd_maintenance(args: argparse.Namespace) -> int:
             spark.stop()
     elif args.cmd == "expire-snapshots":
         t.expire_snapshots(keep_last=args.keep)
+    elif args.cmd == "rollback":
+        t.rollback(args.to_snapshot)
     else:  # vacuum
         t.remove_orphans(older_than_secs=args.older_than)
     t.refresh()
@@ -603,7 +611,7 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_inspect(args)
     if args.cmd == "read":
         return cmd_read(args)
-    if args.cmd in ("compact", "expire-snapshots", "vacuum"):
+    if args.cmd in ("compact", "expire-snapshots", "vacuum", "rollback"):
         return cmd_maintenance(args)
     args = resolve_config(args)
     if not args.events_path or not args.warehouse:

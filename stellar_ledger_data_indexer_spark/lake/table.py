@@ -744,6 +744,46 @@ class LakeTable:
         new_fields = [dict(f, name=new) if f["name"] == old else f for f in cur]
         return self._commit_schema(new_fields, operation="rename-column")
 
+    def alter_drop_column(self, name: str) -> int:
+        """DROP COLUMN: the field id leaves the current schema; data
+        files are untouched (their physical column is simply no longer
+        projected — id-based mapping ignores ids absent from the read
+        schema), and old snapshots still read it via their contemporary
+        schema. Re-adding the same NAME later allocates a FRESH field
+        id, so old physical data never resurrects under the new column —
+        the Iceberg drop/re-add safety property."""
+        cur = list(self._fields(self.schema_version))
+        if not any(f["name"] == name for f in cur):
+            raise ValueError(f"no column {name}")
+        if len(cur) == 1:
+            raise ValueError("cannot drop the last column")
+        new_fields = [f for f in cur if f["name"] != name]
+        return self._commit_schema(new_fields, operation="drop-column")
+
+    def rollback(self, version: int) -> int:
+        """Roll the table back to a previous snapshot: commits a NEW
+        manifest whose file set / schema state is that snapshot's (the
+        Iceberg rollback_to_snapshot procedure — history is preserved,
+        nothing is deleted, and expire_snapshots can still sweep the
+        abandoned lineage later). Readers at the new head see exactly
+        the old state."""
+        old = self._load_manifest(version)
+        man = self.manifest
+        new_man = dict(old)
+        new_man["version"] = man["version"] + 1
+        new_man["parent"] = man["version"]
+        new_man["operation"] = f"rollback-to-v{version}"
+        # keep the FULL schema history (old manifest may predate later
+        # schema versions; files committed under them remain in other
+        # snapshots and expire_snapshots walks every manifest)
+        new_man["schemas"] = dict(man["schemas"])
+        new_man["schema_version"] = old["schema_version"]
+        new_man["next_field_id"] = man["next_field_id"]
+        new_man["committed_at"] = time.time()
+        self._write_manifest(self.path, new_man)
+        self.manifest = new_man
+        return new_man["version"]
+
     def ensure_columns(self, schema: T.StructType) -> int:
         """Auto-evolve an existing table to carry every column of
         ``schema`` (by name; missing ones are added nullable, in order).

@@ -386,6 +386,18 @@ def test_maintenance_verbs(spark, tmp_path):
     assert out["before"]["snapshots"] > 2 and out["after"]["snapshots"] == 2
     assert _fingerprint(spark, wh) == before
 
+    # rollback: restore the pre-expire surviving snapshot as a new head
+    # (compaction preserved content, so the fingerprint is unchanged —
+    # semantic rollback is pinned at the table level in
+    # test_rollback_restores_prior_state)
+    t.refresh()
+    prev = t.snapshots()[-2]
+    out = json.loads(_run(["rollback", "--warehouse", wh,
+                           "--to-snapshot", str(prev)]).stdout)
+    assert out["status"] == "done" and out["verb"] == "rollback"
+    assert out["snapshot"] > prev
+    assert _fingerprint(spark, wh) == before
+
     # unknown table → clean error
     r = _run(["vacuum", "--warehouse", wh, "--table", "nope"])
     assert r.returncode == 2

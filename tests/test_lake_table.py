@@ -87,6 +87,55 @@ def test_schema_evolution_add_and_rename(spark, tmp_path):
                                                    "extra"]
 
 
+def test_drop_column_and_fresh_id_on_readd(spark, tmp_path):
+    """DROP COLUMN removes the field from the current schema without
+    touching data files; old snapshots still read it; re-adding the
+    same name gets a fresh field id, so old physical values never
+    resurrect (the Iceberg drop/re-add safety property)."""
+    t = mk(spark, tmp_path / "dc", [("a", 1, 10), ("b", 2, 20)])
+    v_with = t.version
+    t.alter_drop_column("v")
+    assert t.read(spark).columns == ["doc_id", "seq"]
+    # time travel still sees the dropped column
+    old = {r["doc_id"]: r["v"] for r in
+           t.read(spark, snapshot=v_with).collect()}
+    assert old == {"a": 10, "b": 20}
+    # re-add same name: fresh id → old values must NOT reappear
+    t.alter_add_column("v", T.IntegerType())
+    got = {r["doc_id"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {"a": None, "b": None}
+    t.append(spark.createDataFrame([("c", 3, 33)], t.schema()))
+    got2 = {r["doc_id"]: r["v"] for r in t.read(spark).collect()}
+    assert got2 == {"a": None, "b": None, "c": 33}
+    with pytest.raises(ValueError, match="no column"):
+        t.alter_drop_column("nope")
+
+
+def test_rollback_restores_prior_state(spark, tmp_path):
+    """rollback(v) commits a NEW manifest with snapshot v's state:
+    later rows disappear from the head, history is preserved (the
+    rolled-past snapshot still readable), and writes continue from the
+    restored state."""
+    t = mk(spark, tmp_path / "rb", [("a", 1, 10)])
+    v1 = t.version
+    t.append(spark.createDataFrame([("b", 2, 20)], SCHEMA))
+    v2 = t.version
+    t.rollback(v1)
+    assert {r["doc_id"] for r in t.read(spark).collect()} == {"a"}
+    # the abandoned snapshot is still time-travelable
+    assert t.read(spark, snapshot=v2).count() == 2
+    # new writes continue from the restored state
+    t.append(spark.createDataFrame([("c", 3, 30)], SCHEMA))
+    assert {r["doc_id"] for r in t.read(spark).collect()} == {"a", "c"}
+    # rollback across a schema change restores the old schema head
+    t.alter_add_column("w", T.LongType())
+    v_evolved = t.version
+    t.rollback(v1)
+    assert t.read(spark).columns == ["doc_id", "seq", "v"]
+    assert t.read(spark, snapshot=v_evolved).columns == \
+        ["doc_id", "seq", "v", "w"]
+
+
 def test_commit_conflict_detected(spark, tmp_path):
     path = tmp_path / "t6"
     t1 = mk(spark, path, [("a", 1, 10)])
