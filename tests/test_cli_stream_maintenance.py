@@ -148,6 +148,81 @@ def test_cli_stream_follow_tails_live_producer(spark, tmp_path):
     assert_states_equal(engine, oracle)
 
 
+def test_cli_stream_follow_sigkill_restart_converges(spark, tmp_path):
+    """Exactly-once under the run-forever tail: SIGKILL (no drain) while
+    the follow query is consuming, restart in follow mode, land the rest
+    of the stream during the second run — final state must equal the
+    full oracle (streaming offsets + idempotent LWW merges replay any
+    half-applied micro-batch as a no-op)."""
+    import shutil
+
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+    from stellar_ledger_data_indexer_spark.sources.change_stream import (
+        StreamSpec, read_change_events, write_change_events)
+    staging = str(tmp_path / "staging")
+    events = str(tmp_path / "events")
+    wh = str(tmp_path / "wh")
+    os.makedirs(events)
+    write_change_events(spark, staging,
+                        StreamSpec(n_events=10000, n_docs=150),
+                        partitions=6)
+    names = sorted(n for n in os.listdir(staging) if n.endswith(".parquet"))
+    half = len(names) // 2
+    for n in names[:half]:
+        shutil.move(os.path.join(staging, n), os.path.join(events, n))
+
+    def follow_proc():
+        return subprocess.Popen(
+            [sys.executable, MAIN, "stream", "--follow", "--poll-interval",
+             "0.5", "--events-path", events, "--warehouse", wh,
+             "--num-buckets", "8", "--master", "local[4]"],
+            cwd=REPO, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    def target_max_seq():
+        tpath = os.path.join(wh, "documents")
+        if not LakeTable.exists(tpath):
+            return 0
+        return max((f.max_seq or 0 for f in LakeTable(tpath).files),
+                   default=0)
+
+    first_hi = int(names[half - 1].split("-")[2])
+    final_hi = int(names[-1].split("-")[2])
+    p = follow_proc()
+    try:
+        deadline = time.time() + 240
+        # kill WITHOUT drain as soon as any merge has landed
+        while target_max_seq() == 0 and time.time() < deadline:
+            assert p.poll() is None
+            time.sleep(0.2)
+        assert target_max_seq() > 0
+    finally:
+        p.kill()
+        p.wait(timeout=60)
+    p2 = follow_proc()
+    try:
+        deadline = time.time() + 240
+        while target_max_seq() < first_hi and time.time() < deadline:
+            assert p2.poll() is None, "restarted follow died"
+            time.sleep(0.5)
+        for n in names[half:]:      # land the rest during the second run
+            shutil.move(os.path.join(staging, n), os.path.join(events, n))
+        while target_max_seq() < final_hi and time.time() < deadline:
+            assert p2.poll() is None
+            time.sleep(0.5)
+        assert target_max_seq() >= final_hi
+        p2.send_signal(signal.SIGINT)
+        assert p2.wait(timeout=120) == 130
+    finally:
+        if p2.poll() is None:
+            p2.kill()
+            p2.wait(timeout=60)
+    oracle = replay_oracle(rows_to_events(
+        read_change_events(spark, events).collect()))
+    engine = state_from_target(
+        LakeTable(os.path.join(wh, "documents")).read(spark).collect())
+    assert_states_equal(engine, oracle)
+
+
 # ------------------------------------------------------------ live gauges
 def test_gauges_advance_while_replay_runs(tmp_path):
     """Poll _gauges.json from OUTSIDE the job process while it replays:
