@@ -735,14 +735,30 @@ class LakeTable:
     def alter_rename_column(self, old: str, new: str) -> int:
         """RENAME COLUMN: same field id, new name — old data files map by id.
         Analog of index/column renames in
-        internal/db/migrations/20251017-polish-indexes.sql:6-7."""
+        internal/db/migrations/20251017-polish-indexes.sql:6-7. The
+        declared ``write_order`` property follows the rename (otherwise
+        writers would silently stop sorting — the defensive
+        column-exists check in _write_data would skip the stale name)."""
         cur = list(self._fields(self.schema_version))
         if not any(f["name"] == old for f in cur):
             raise ValueError(f"no column {old}")
         if any(f["name"] == new for f in cur):
             raise ValueError(f"column {new} exists")
         new_fields = [dict(f, name=new) if f["name"] == old else f for f in cur]
-        return self._commit_schema(new_fields, operation="rename-column")
+        props = dict(self.manifest.get("properties") or {})
+        if props.get("write_order"):
+            parts = []
+            for tok in props["write_order"].split(","):
+                tok = tok.strip()
+                if tok == old:
+                    tok = new
+                elif tok == f"-{old}":
+                    tok = f"-{new}"
+                if tok:
+                    parts.append(tok)
+            props["write_order"] = ",".join(parts)
+        return self._commit_schema(new_fields, operation="rename-column",
+                                   properties=props)
 
     def alter_drop_column(self, name: str) -> int:
         """DROP COLUMN: the field id leaves the current schema; data
@@ -802,7 +818,8 @@ class LakeTable:
 
     def _commit_schema(self, new_fields: list[dict[str, Any]],
                        next_field_id: int | None = None,
-                       operation: str = "evolve") -> int:
+                       operation: str = "evolve",
+                       properties: dict[str, str] | None = None) -> int:
         man = self.manifest
         new_sv = max(int(k) for k in man["schemas"]) + 1
         new_man = dict(man)
@@ -813,6 +830,8 @@ class LakeTable:
         new_man["schema_version"] = new_sv
         if next_field_id is not None:
             new_man["next_field_id"] = next_field_id
+        if properties is not None:
+            new_man["properties"] = properties
         new_man["committed_at"] = time.time()
         self._write_manifest(self.path, new_man)
         self.manifest = new_man

@@ -411,6 +411,30 @@ def rollup_pricing(spark, sf):
                     "n", "sum_qty", "revenue_c"))
 
 
+@_q("cube_returns_status", """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def cube_returns_status(spark, sf):
+    """CUBE grouping sets — the full-lattice shape ROLLUP doesn't cover
+    (rollup omits the per-linestatus-only groupings; cube emits all four
+    subsets). Spark plans one Expand over the lattice with a single
+    aggregation — not four scans. 'ALL' sentinel keeps rows totally
+    orderable for the driver compare (same convention as
+    rollup_pricing)."""
+    li = _t(spark, sf, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.floor("l_quantity").cast("bigint")).alias("sum_qty"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                    "n", "sum_qty"))
+
+
 @_q("topk_per_group", """
 SELECT c_custkey, c_nationkey,
        CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c

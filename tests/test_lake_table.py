@@ -87,6 +87,25 @@ def test_schema_evolution_add_and_rename(spark, tmp_path):
                                                    "extra"]
 
 
+def test_write_order_follows_rename(spark, tmp_path):
+    """Renaming an ordered column must carry the write_order property
+    along — otherwise writers silently stop sorting (the defensive
+    missing-column check in _write_data would skip the stale name)."""
+    import pyarrow.parquet as pq
+    t = LakeTable.create(str(tmp_path / "wo"), SCHEMA, bucket_col="doc_id",
+                         num_buckets=2, properties={"write_order": "-seq"})
+    t.alter_rename_column("seq", "sequence")
+    assert t.write_order == [("sequence", False)]
+    # writes under the new name still come out sorted
+    sch = t.schema()
+    t.append(spark.createDataFrame(
+        [(f"d{i}", (i * 37) % 100, i) for i in range(50)], sch))
+    f0 = [f for f in t.files if f.rows > 1][0]
+    col = pq.read_table(os.path.join(t.path, f0.path),
+                        columns=["sequence"])["sequence"].to_pylist()
+    assert col == sorted(col, reverse=True)
+
+
 def test_drop_column_and_fresh_id_on_readd(spark, tmp_path):
     """DROP COLUMN removes the field from the current schema without
     touching data files; old snapshots still read it; re-adding the
