@@ -85,6 +85,82 @@ spark.stop()
     return json.loads(line)
 
 
+def run_stage_probe(cpus: int, events: int, codec: str = "lz4",
+                    reps: int = 2) -> dict:
+    """Per-stage replay decomposition (VERDICT r4 next-step 6): time the
+    pipeline's three physical phases separately at one parallelism level
+    so the replay-scaling inversion is attributable to a STAGE, not
+    prose — (1) scan+project (parquet read + CDC projection, no
+    shuffle), (2) + LWW dedup (adds the keyed shuffle), (3) the full
+    epoch replay (adds the merge write). Stages 1-2 force execution
+    through Spark's noop sink (a count would let Catalyst drop every
+    column and measure footer reads). ``codec`` sets
+    spark.io.compression.codec for the whole JVM — the shuffle-payload
+    mitigation A/B the DRAM-wall analysis calls for."""
+    code = f"""
+import json, os, shutil, time
+os.environ["SLDI_LOCAL_DIR"] = "/dev/shm/sldi_stage_local_{cpus}_" + str(os.getpid())
+os.makedirs(os.environ["SLDI_LOCAL_DIR"], exist_ok=True)
+from stellar_ledger_data_indexer_spark.session import get_spark
+from stellar_ledger_data_indexer_spark.sources.change_stream import (
+    StreamSpec, write_change_events, read_change_events)
+from stellar_ledger_data_indexer_spark.operators.cdc import project_base
+from stellar_ledger_data_indexer_spark.operators.dedup import dedup_lww
+from stellar_ledger_data_indexer_spark.job import IngestJob, JobConfig
+spark = get_spark(master="local[{cpus}]", shuffle_partitions={cpus} * 2,
+                  extra={{"spark.ui.enabled": "false",
+                          "spark.io.compression.codec": "{codec}"}})
+work = "/dev/shm/sldi_stage_{cpus}_" + str(os.getpid())
+os.makedirs(work, exist_ok=True)
+try:
+    ev_path = os.path.join(work, "events")
+    spec = StreamSpec(n_events={events}, n_docs=max({events} // 12, 1000),
+                      events_per_seq=max({events} // 40, 100),
+                      tok_len_min=8, tok_len_max=64)
+    write_change_events(spark, ev_path, spec, partitions={cpus} * 2)
+    ev = read_change_events(spark, ev_path, 0, 1 << 62)
+
+    def best(thunk):
+        w = []
+        for _ in range({reps}):
+            t0 = time.monotonic(); thunk(); w.append(time.monotonic() - t0)
+        return min(w)
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    t_scan = best(lambda: noop(project_base(ev)))
+    t_dedup = best(lambda: noop(dedup_lww(project_base(ev),
+                                          key_cols=("doc_id",),
+                                          order_cols=("seq", "pos"),
+                                          first_seq_col="seq")))
+    def replay():
+        wh = os.path.join(work, "wh")
+        shutil.rmtree(wh, ignore_errors=True)
+        IngestJob(spark, JobConfig(
+            events_path=ev_path, warehouse=wh, num_buckets=64,
+            epoch_size=1 << 62)).run(start=2, end=0, backfill=True)
+    t_replay = best(replay)
+    print(json.dumps({{
+        "scan_project_sec": round(t_scan, 3),
+        "plus_dedup_shuffle_sec": round(t_dedup, 3),
+        "full_replay_sec": round(t_replay, 3),
+        "attributed": {{
+            "scan_project": round(t_scan, 3),
+            "dedup_shuffle": round(t_dedup - t_scan, 3),
+            "merge_write_rest": round(t_replay - t_dedup, 3)}},
+        "codec": "{codec}"}}))
+finally:
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(os.environ["SLDI_LOCAL_DIR"], ignore_errors=True)
+    spark.stop()
+"""
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=3600, cwd=REPO)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
 def _burn_worker(iters: int) -> int:
     x = 0x2545F4914F6CDD1D
     m = (1 << 64) - 1
@@ -130,10 +206,18 @@ def main() -> int:
                          "probe: rows (default 50M — a 2M-row cpu probe "
                          "walls ~0.3 s and measures scheduling noise, "
                          "not scaling)")
-    ap.add_argument("--probe", choices=("replay", "cpu"), default="replay",
+    ap.add_argument("--probe", choices=("replay", "cpu", "stages"),
+                    default="replay",
                     help="replay = the full pipeline; cpu = compute-dense "
                          "dataflow isolating task-execution scaling from "
-                         "the box's shared DRAM/write path")
+                         "the box's shared DRAM/write path; stages = "
+                         "per-stage replay decomposition (scan / "
+                         "dedup-shuffle / merge-write walls at both "
+                         "levels, VERDICT r4 item 6)")
+    ap.add_argument("--codec", default="lz4",
+                    help="stages probe: spark.io.compression.codec for "
+                         "the shuffle-payload mitigation A/B (lz4|zstd|"
+                         "snappy)")
     ap.add_argument("--repeat", type=int, default=3,
                     help="replay legs per level; best-of-N (hypervisor "
                          "steal spikes slow single runs up to 3×)")
@@ -148,7 +232,39 @@ def main() -> int:
     burn = run_burn_probe(args.n)
     ceiling = burn["burn_ceiling_N_to_4N"]
 
-    if args.probe == "cpu":
+    if args.probe == "stages":
+        lo = run_stage_probe(args.n, args.events, codec=args.codec)
+        hi = run_stage_probe(args.n * 4, args.events, codec=args.codec)
+
+        def eff_of(k: str) -> float:
+            # stage speedup via inverse walls (same input both levels)
+            return round((lo[k] / hi[k]) / 4.0, 3)
+
+        result = {
+            "probe": "stages", "events": args.events, "codec": args.codec,
+            f"local[{args.n}]": lo, f"local[{args.n * 4}]": hi,
+            "stage_scaling_efficiency_N_to_4N": {
+                "scan_project": eff_of("scan_project_sec"),
+                "scan_plus_dedup": eff_of("plus_dedup_shuffle_sec"),
+                "full_replay": eff_of("full_replay_sec")},
+            "burn": burn,
+        }
+        md_block = (
+            "\n## Per-stage replay decomposition (same input, two "
+            f"parallelism levels, codec={args.codec})\n\n"
+            f"| stage | local[{args.n}] | local[{args.n * 4}] | naive "
+            "eff | same-day burn ceiling |\n|---|---|---|---|---|\n"
+            f"| scan+project (no shuffle) | {lo['scan_project_sec']} s | "
+            f"{hi['scan_project_sec']} s | "
+            f"{eff_of('scan_project_sec')} | {ceiling:.3f} |\n"
+            f"| + LWW dedup (keyed shuffle) | "
+            f"{lo['plus_dedup_shuffle_sec']} s | "
+            f"{hi['plus_dedup_shuffle_sec']} s | "
+            f"{eff_of('plus_dedup_shuffle_sec')} | {ceiling:.3f} |\n"
+            f"| full replay (adds merge write) | {lo['full_replay_sec']} s "
+            f"| {hi['full_replay_sec']} s | "
+            f"{eff_of('full_replay_sec')} | {ceiling:.3f} |\n")
+    elif args.probe == "cpu":
         lo = run_cpu_probe(args.n, args.events)
         hi = run_cpu_probe(args.n * 4, args.events)
         eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / 4.0

@@ -122,15 +122,30 @@ def bench_queries(spark) -> dict[str, float]:
      .select(F.array(F.lit(1.0), F.lit(2.0)).alias("a"),
              F.array(F.lit(1.0), F.lit(2.0)).alias("b"))
      .select(cosine_batch(F.col("a"), F.col("b"))).count())
-    # ... and the minhash/simhash pandas-UDF workers (their first
-    # invocation otherwise pays ~10-15 s of worker spin-up + Arrow codec
-    # JIT charged to whichever minhash query runs first)
+    # ... and the minhash/simhash workers at the REAL plan shape
+    # (VERDICT r4 next-step 1a: the old warmup ran num_perm=4 over 32
+    # docs — the measured entries run num_perm=32 grouped aggs over
+    # ~600 docs with a candidate join on top, so the first heavy entry
+    # still paid residual worker/codegen spin-up). Warm on a DIFFERENT
+    # doc slice than the twin fixture so the measured entries' shared
+    # gram cache is NOT pre-populated — the first rep pays it, best-of-N
+    # keeps the cached cost, exactly the sharing the entries really do.
+    from pyspark.sql import functions as FW
+
     from stellar_ledger_data_indexer_spark.functions.dedup_text import (
-        minhash_candidate_pairs, simhash)
-    tiny = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
-            .limit(32).select("doc_id", "text"))
-    minhash_candidate_pairs(tiny, num_perm=4, num_bands=2).count()
-    simhash(tiny).count()
+        minhash_candidate_pairs, simhash, word_shingles)
+    warm = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter((FW.col("doc_id") >= 300) & (FW.col("doc_id") < 900))
+            .select("doc_id", "text"))
+    wcands = minhash_candidate_pairs(warm, num_perm=32, num_bands=16)
+    wg = warm.select("doc_id", FW.array_distinct(
+        word_shingles(FW.col("text"), 2)).alias("g"))
+    (wcands.join(wg.select(FW.col("doc_id").alias("id_a"),
+                           FW.col("g").alias("ga")), "id_a")
+     .join(wg.select(FW.col("doc_id").alias("id_b"),
+                     FW.col("g").alias("gb")), "id_b")
+     .select(FW.size(FW.array_intersect("ga", "gb"))).count())
+    simhash(warm.limit(64)).count()
 
     # drift guard: the curated timing order must cover the catalog exactly
     # (a plain assert is stripped under python -O — raise explicitly)

@@ -59,7 +59,8 @@ def dedup_neardup(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", shingle_n: int = 2,
                   threshold: float = 0.5, num_perm: int = 32,
                   num_bands: int = 16, seed: int = 7,
-                  max_bucket: int | None = 200) -> DataFrame:
+                  max_bucket: int | None = 200,
+                  candidate_shingle_n: int | None = None) -> DataFrame:
     """End-to-end near-duplicate removal — the full production pipeline
     in one call: MinHash+LSH candidate generation → exact n-gram-Jaccard
     verification of ONLY the candidate pairs → connected-components
@@ -67,10 +68,21 @@ def dedup_neardup(docs: DataFrame, text_col: str = "text",
     (min-id) document per cluster. Every stage is the bounded/blocked
     form: the shuffle never carries more than (bucket, id) pairs plus
     the candidate set's gram arrays, and clustering is O(diameter)
-    rounds over the verified edges only."""
+    rounds over the verified edges only.
+
+    ``candidate_shingle_n`` sets the shingle width MinHash/LSH hashes
+    for candidate generation; it defaults to ``shingle_n`` so the LSH
+    recall curve is tuned for the SAME similarity the exact-Jaccard
+    verify stage thresholds on (ADVICE r4 — it was silently pinned to 3
+    while verify used the caller's value). Pass it explicitly to run a
+    coarser/finer candidate sieve than the verify grams — a recall/cost
+    trade the caller now opts into by name."""
     from .graph import neardup_clusters
     cands = minhash_candidate_pairs(docs, text_col=text_col, id_col=id_col,
-                                    shingle_n=3, num_perm=num_perm,
+                                    shingle_n=(candidate_shingle_n
+                                               if candidate_shingle_n
+                                               is not None else shingle_n),
+                                    num_perm=num_perm,
                                     num_bands=num_bands, seed=seed,
                                     max_bucket=max_bucket)
     verified = ngram_jaccard_pairs(docs, text_col=text_col, id_col=id_col,
@@ -79,8 +91,14 @@ def dedup_neardup(docs: DataFrame, text_col: str = "text",
     clusters = neardup_clusters(docs.select(F.col(id_col)),
                                 verified.select("id_a", "id_b"),
                                 id_col=id_col)
+    # own neardup_clusters' cache here: fold it to the (smaller) survivor
+    # id set, materialize THAT, release the cluster map — the one cache
+    # that outlives this call is a single id column the final join
+    # consumes (and Spark drops with the session / on caller unpersist)
     keep = (clusters.filter(F.col(id_col) == F.col("component"))
-            .select(id_col))
+            .select(id_col).persist())
+    keep.count()
+    clusters.unpersist()
     return docs.join(keep, id_col, "inner")
 
 
@@ -179,6 +197,75 @@ def minhash_bands(sig: Column, num_bands: int = 8,
     return F.array(*bands)
 
 
+def minhash_banded(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", shingle_n: int = 3,
+                   num_perm: int = 32, num_bands: int = 8,
+                   seed: int = 7, sig_mode: str = "grouped") -> DataFrame:
+    """The signature half of MinHash LSH: one (id, band-bucket) row per
+    (doc, band) — shingle → num_perm-way min-hash signature → banding.
+    Split out of minhash_candidate_pairs so callers that form several
+    candidate sets from one corpus (different bucket caps, incremental
+    batches) compute signatures ONCE and feed the result to
+    minhash_pairs_from_banded — at scale the signature aggregation is
+    the expensive half and it is parameter-identical across those uses."""
+    rows_per_band = num_perm // num_bands
+    if sig_mode == "arrow":
+        hashes = F.transform(word_shingles(F.col(text_col), shingle_n),
+                             lambda s: F.xxhash64(s, F.lit(seed)))
+        sig = (docs.select(F.col(id_col),
+                           minhash_sig_arrow(num_perm, seed)(hashes)
+                           .alias("_sig"))
+               .filter(F.col("_sig").isNotNull()))
+
+        def elem(bn: int, r: int) -> Column:
+            return F.element_at("_sig", bn * rows_per_band + r + 1)
+    elif sig_mode == "grouped":
+        base = docs.select(
+            F.col(id_col),
+            F.explode(F.transform(word_shingles(F.col(text_col), shingle_n),
+                                  lambda s: F.xxhash64(s, F.lit(seed))))
+            .alias("h"))
+        sig = base.groupBy(id_col).agg(
+            *[F.min(F.xxhash64(F.col("h"), F.lit(seed + 1 + i)))
+              .alias(f"m{i}") for i in range(num_perm)])
+
+        def elem(bn: int, r: int) -> Column:
+            return F.col(f"m{bn * rows_per_band + r}")
+    else:
+        raise ValueError(f"sig_mode must be grouped|arrow, got {sig_mode}")
+    bands = [F.struct(F.lit(bn).alias("band"),
+                      F.xxhash64(F.concat_ws(
+                          ",", *[elem(bn, r).cast("string")
+                                 for r in range(rows_per_band)]))
+                      .alias("bucket"))
+             for bn in range(num_bands)]
+    return sig.select(id_col, F.explode(F.array(*bands)).alias("b"))
+
+
+def minhash_pairs_from_banded(banded: DataFrame, id_col: str = "doc_id",
+                              max_bucket: int | None = 200) -> DataFrame:
+    """The join half of MinHash LSH: (id_a, id_b, n_shared_bands) from a
+    minhash_banded result — bucket-width cap, then same-bucket self-join
+    carrying only (bucket, id)."""
+    if max_bucket is not None:
+        # bucket sizes come from a grouped aggregation (map-side
+        # combined) joined back — NOT a window over the bucket key, which
+        # would funnel each megabucket onto a single partition, i.e.
+        # exactly the skew this cap defends against. The oversized-bucket
+        # set is tiny by construction (few megabuckets), so broadcast IT
+        # and anti-join — never the keep-set, which is ~every bucket in
+        # the table.
+        oversized = (banded.groupBy("b").agg(F.count("*").alias("_bw"))
+                     .filter(F.col("_bw") > max_bucket).drop("_bw"))
+        banded = banded.join(F.broadcast(oversized), "b", "left_anti")
+    lhs = banded.select(F.col(id_col).alias("id_a"), "b")
+    rhs = banded.select(F.col(id_col).alias("id_b"), "b")
+    return (lhs.join(rhs, "b")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("long").alias("n_shared_bands")))
+
+
 def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", shingle_n: int = 3,
                             num_perm: int = 32, num_bands: int = 8,
@@ -220,53 +307,12 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
     sampled, so the result stays deterministic. ``None`` skips the cap
     stage (for corpora whose bucket widths are bounded by construction —
     saves its aggregation + broadcast anti-join)."""
-    rows_per_band = num_perm // num_bands
-    if sig_mode == "arrow":
-        hashes = F.transform(word_shingles(F.col(text_col), shingle_n),
-                             lambda s: F.xxhash64(s, F.lit(seed)))
-        sig = (docs.select(F.col(id_col),
-                           minhash_sig_arrow(num_perm, seed)(hashes)
-                           .alias("_sig"))
-               .filter(F.col("_sig").isNotNull()))
-        def elem(bn: int, r: int) -> Column:
-            return F.element_at("_sig", bn * rows_per_band + r + 1)
-    elif sig_mode == "grouped":
-        base = docs.select(
-            F.col(id_col),
-            F.explode(F.transform(word_shingles(F.col(text_col), shingle_n),
-                                  lambda s: F.xxhash64(s, F.lit(seed))))
-            .alias("h"))
-        sig = base.groupBy(id_col).agg(
-            *[F.min(F.xxhash64(F.col("h"), F.lit(seed + 1 + i)))
-              .alias(f"m{i}") for i in range(num_perm)])
-        def elem(bn: int, r: int) -> Column:
-            return F.col(f"m{bn * rows_per_band + r}")
-    else:
-        raise ValueError(f"sig_mode must be grouped|arrow, got {sig_mode}")
-    bands = [F.struct(F.lit(bn).alias("band"),
-                      F.xxhash64(F.concat_ws(
-                          ",", *[elem(bn, r).cast("string")
-                                 for r in range(rows_per_band)]))
-                      .alias("bucket"))
-             for bn in range(num_bands)]
-    banded = sig.select(id_col, F.explode(F.array(*bands)).alias("b"))
-    if max_bucket is not None:
-        # bucket sizes come from a grouped aggregation (map-side
-        # combined) joined back — NOT a window over the bucket key, which
-        # would funnel each megabucket onto a single partition, i.e.
-        # exactly the skew this cap defends against. The oversized-bucket
-        # set is tiny by construction (few megabuckets), so broadcast IT
-        # and anti-join — never the keep-set, which is ~every bucket in
-        # the table.
-        oversized = (banded.groupBy("b").agg(F.count("*").alias("_bw"))
-                     .filter(F.col("_bw") > max_bucket).drop("_bw"))
-        banded = banded.join(F.broadcast(oversized), "b", "left_anti")
-    lhs = banded.select(F.col(id_col).alias("id_a"), "b")
-    rhs = banded.select(F.col(id_col).alias("id_b"), "b")
-    return (lhs.join(rhs, "b")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").cast("long").alias("n_shared_bands")))
+    banded = minhash_banded(docs, text_col=text_col, id_col=id_col,
+                            shingle_n=shingle_n, num_perm=num_perm,
+                            num_bands=num_bands, seed=seed,
+                            sig_mode=sig_mode)
+    return minhash_pairs_from_banded(banded, id_col=id_col,
+                                     max_bucket=max_bucket)
 
 
 # --------------------------------------------------------------- simhash

@@ -35,7 +35,16 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     iff they occur in an edge (callers union isolated nodes themselves,
     e.g. ``component = own id``). Raises if ``max_iter`` rounds don't
     converge (diameter > max_iter — a pathological chain, not a
-    near-dup workload)."""
+    near-dup workload).
+
+    Cache contract (ADVICE r4): the returned DataFrame is persisted and
+    already materialized — unpersisting it would make any later
+    evaluation recompute the whole O(diameter) iteration through the
+    full join lineage, so the cache is kept and THE CALLER OWNS IT:
+    call ``.unpersist()`` once done consuming (``neardup_clusters``
+    does exactly this after materializing its own result). The
+    non-convergence path unpersists before raising — nothing leaks on
+    error."""
     sym = (edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
            .union(edges.select(F.col(id_b).alias("src"),
                                F.col(id_a).alias("dst"))))
@@ -65,6 +74,7 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         labels = new_labels
         if changed == 0:
             return labels
+    labels.unpersist()
     raise RuntimeError(f"connected_components did not converge in "
                        f"{max_iter} rounds (graph diameter too large)")
 
@@ -74,10 +84,20 @@ def neardup_clusters(docs: DataFrame, pairs: DataFrame,
     """Fold verified near-dup pairs into clusters over the whole corpus:
     returns (doc_id, component) for EVERY document — connected docs get
     their component's min id, isolated docs get themselves. Downstream
-    dedup keeps rows where doc_id == component (the canonical copy)."""
+    dedup keeps rows where doc_id == component (the canonical copy).
+
+    Cache contract: materializes its own (doc_id, component) result into
+    a fresh cache and releases ``connected_components``'s inner one
+    before returning — the returned cache (ONE two-column DataFrame) is
+    the caller's to ``.unpersist()`` when done; callers that don't pay
+    one bounded cached frame per call, never an accumulating chain."""
     comp = connected_components(pairs, max_iter=20)
-    return (docs.select(F.col(id_col))
-            .join(comp.withColumnRenamed("node", id_col), id_col, "left")
-            .select(id_col,
-                    F.coalesce("component", F.col(id_col))
-                    .alias("component")))
+    out = (docs.select(F.col(id_col))
+           .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+           .select(id_col,
+                   F.coalesce("component", F.col(id_col))
+                   .alias("component"))
+           .persist())
+    out.count()
+    comp.unpersist()
+    return out

@@ -42,17 +42,48 @@ def cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     but higher-order lambdas (zip_with/aggregate) are interpreted —
     measured ~0.4 ms/pair; for 10^5+ candidate pairs the Arrow-batched
     numpy path is the hot-loop implementation (fixed-width embeddings →
-    one matmul-shaped pass per batch)."""
-    va = np.stack(a.to_numpy()).astype("float64")
-    vb = np.stack(b.to_numpy()).astype("float64")
+    one matmul-shaped pass per batch). Null/ragged rows on either side
+    score null (same masking contract as the assignment UDFs)."""
+    aa, bb = a.to_numpy(), b.to_numpy()
+    dim = next((len(x) for x in aa if x is not None
+                and getattr(x, "__len__", None) is not None), 0)
+    _, ok_a = _stack_rows(aa, dim)
+    _, ok_b = _stack_rows(bb, dim)
+    valid = ok_a & ok_b
+    va = _stack_rows(aa[valid], dim)[0]
+    vb = _stack_rows(bb[valid], dim)[0]
     dots = np.einsum("ij,ij->i", va, vb)
     den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
-    out = np.where(den > 0, dots / np.where(den == 0, 1, den), 0.0)
-    return pd.Series(out)
+    vals = np.where(den > 0, dots / np.where(den == 0, 1, den), 0.0)
+    out = np.full(len(valid), None, dtype=object)
+    out[valid] = vals
+    return pd.Series(out, dtype="Float64")
 
 
 def _lit_vec(v) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _stack_rows(arrs, dim: int):
+    """Stack an object array of embeddings into a (n_valid × dim) float64
+    matrix, tolerating null and ragged rows: returns (matrix, valid_mask).
+    The JVM expression forms these UDFs replaced yielded null for a null
+    vector; np.stack over a batch containing one would instead raise and
+    fail the whole job (ADVICE r4) — so invalid rows are masked out here
+    and the callers emit null for them, mirroring minhash_sig_arrow's
+    empty-shingle handling."""
+    valid = np.fromiter(
+        ((a is not None and getattr(a, "__len__", None) is not None
+          and len(a) == dim) for a in arrs),
+        dtype=bool, count=len(arrs))
+    if valid.all():
+        m = np.stack(arrs).astype("float64") if len(arrs) else \
+            np.zeros((0, dim), dtype="float64")
+    elif valid.any():
+        m = np.stack([a for a, v in zip(arrs, valid) if v]).astype("float64")
+    else:
+        m = np.zeros((0, dim), dtype="float64")
+    return m, valid
 
 
 def cosine_topk(emb: DataFrame, query: list[float], k: int = 10,
@@ -87,9 +118,12 @@ def rp_bucket_batch(planes: np.ndarray):
 
     @pandas_udf(T.LongType())
     def bucket(vec: pd.Series) -> pd.Series:
-        m = np.stack(vec.to_numpy()).astype("float64")
+        m, valid = _stack_rows(vec.to_numpy(), pl.shape[1])
         bits = (m @ pl.T) >= 0
-        return pd.Series((bits @ weights).astype("int64"))
+        vals = (bits @ weights).astype("int64")
+        out = np.full(len(valid), None, dtype=object)
+        out[valid] = vals
+        return pd.Series(out, dtype="Int64")
     return bucket
 
 
@@ -144,11 +178,15 @@ def ivf_assign_batch(centroids: np.ndarray):
 
     @pandas_udf(T.IntegerType())
     def assign(vec: pd.Series) -> pd.Series:
-        m = np.stack(vec.to_numpy()).astype("float64")
+        m, valid = _stack_rows(vec.to_numpy(), unit.shape[0])
         vn = np.linalg.norm(m, axis=1, keepdims=True)
         vn[vn == 0] = 1.0
         scores = np.round((m / vn) @ unit, 6)
-        return pd.Series(np.argmax(scores, axis=1).astype("int32"))
+        cells = np.argmax(scores, axis=1).astype("int32") if len(m) else \
+            np.zeros(0, dtype="int32")
+        out = np.full(len(valid), None, dtype=object)
+        out[valid] = cells
+        return pd.Series(out, dtype="Int32")
     return assign
 
 

