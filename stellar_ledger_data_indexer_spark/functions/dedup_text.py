@@ -21,6 +21,8 @@ for 100 TB:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -197,25 +199,75 @@ def minhash_bands(sig: Column, num_bands: int = 8,
     return F.array(*bands)
 
 
+# sig_mode="auto" crossover: Catalyst-estimated input bytes at or above
+# which the Arrow signature path beats the grouped aggregation (the
+# arrow path trades the full-corpus signature shuffle for a Python
+# worker round-trip whose fixed cost dominates on small corpora).
+# Measured by BENCH/minhash_ab.py (best-of-3, local[32], production
+# parameters; table in BENCH/BASELINE.md round 5): grouped wins ≤11 MB
+# (600 docs 1.4 vs 3.1 s; 20k docs 7.5 vs 12.3 s), dead heat 22–33 MB,
+# arrow wins ≥55 MB (100k docs 30.2 vs 43.1 s — and the gap widens with
+# scale as the saved signature shuffle grows while the Python
+# round-trip amortizes). 32 MB splits the tie region. Env
+# SLDI_MINHASH_ARROW_BYTES overrides — the same pick-by-input-size
+# pattern as lake.table._choose_resolve for MoR resolution.
+ARROW_SIG_BYTES = 32 << 20
+
+
+# Catalyst reports spark.sql.defaultSizeInBytes (Long.MaxValue unless
+# reconfigured) for leaf nodes it cannot size — a LogicalRDD from
+# createDataFrame, a barrier node. Estimates at/above this sentinel mean
+# "unknown", not "huge": auto must fall back to the always-correct
+# grouped plan, not pick arrow for a 3-row local-relation test fixture.
+_UNKNOWN_SIZE = 1 << 60
+
+
+def _plan_input_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for a plan — driver-side, no Spark job
+    (file-size based for scans, like _choose_resolve's manifest bytes).
+    None when the plan has no real statistics."""
+    est = int(df._jdf.queryExecution().optimizedPlan()
+              .stats().sizeInBytes())
+    return None if est >= _UNKNOWN_SIZE else est
+
+
 def minhash_banded(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", shingle_n: int = 3,
                    num_perm: int = 32, num_bands: int = 8,
-                   seed: int = 7, sig_mode: str = "grouped") -> DataFrame:
+                   seed: int = 7, sig_mode: str = "auto") -> DataFrame:
     """The signature half of MinHash LSH: one (id, band-bucket) row per
     (doc, band) — shingle → num_perm-way min-hash signature → banding.
     Split out of minhash_candidate_pairs so callers that form several
     candidate sets from one corpus (different bucket caps, incremental
     batches) compute signatures ONCE and feed the result to
     minhash_pairs_from_banded — at scale the signature aggregation is
-    the expensive half and it is parameter-identical across those uses."""
+    the expensive half and it is parameter-identical across those uses.
+
+    ``sig_mode="auto"`` (default) picks grouped below / arrow at or
+    above ARROW_SIG_BYTES of Catalyst-estimated input (driver-side, no
+    job; env SLDI_MINHASH_ARROW_BYTES overrides) — small corpora pay
+    the Python round-trip more than the shuffle it saves, large corpora
+    the reverse (A/B in BENCH/BASELINE.md round 5)."""
+    if sig_mode == "auto":
+        threshold = int(os.environ.get("SLDI_MINHASH_ARROW_BYTES",
+                                       ARROW_SIG_BYTES))
+        est = _plan_input_bytes(docs)
+        sig_mode = ("arrow" if est is not None and est >= threshold
+                    else "grouped")
     rows_per_band = num_perm // num_bands
     if sig_mode == "arrow":
         hashes = F.transform(word_shingles(F.col(text_col), shingle_n),
                              lambda s: F.xxhash64(s, F.lit(seed)))
-        sig = (docs.select(F.col(id_col),
-                           minhash_sig_arrow(num_perm, seed)(hashes)
-                           .alias("_sig"))
-               .filter(F.col("_sig").isNotNull()))
+        # no .filter(_sig.isNotNull()) here: a filter referencing the UDF
+        # output gets its OWN ArrowEvalPython node (the projection below
+        # re-extracts a second one — measured 2× signature evaluation in
+        # the executed plan). Null signatures (empty docs) are dropped by
+        # the null-guarded explode at the end instead: explode(null)
+        # emits no rows, and the guard lives in the same single
+        # projection as the bands.
+        sig = docs.select(F.col(id_col),
+                          minhash_sig_arrow(num_perm, seed)(hashes)
+                          .alias("_sig"))
 
         def elem(bn: int, r: int) -> Column:
             return F.element_at("_sig", bn * rows_per_band + r + 1)
@@ -239,7 +291,10 @@ def minhash_banded(docs: DataFrame, text_col: str = "text",
                                  for r in range(rows_per_band)]))
                       .alias("bucket"))
              for bn in range(num_bands)]
-    return sig.select(id_col, F.explode(F.array(*bands)).alias("b"))
+    arr = F.array(*bands)
+    if sig_mode == "arrow":
+        arr = F.when(F.col("_sig").isNotNull(), arr)
+    return sig.select(id_col, F.explode(arr).alias("b"))
 
 
 def minhash_pairs_from_banded(banded: DataFrame, id_col: str = "doc_id",
@@ -271,13 +326,15 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
                             num_perm: int = 32, num_bands: int = 8,
                             seed: int = 7,
                             max_bucket: int | None = 200,
-                            sig_mode: str = "grouped") -> DataFrame:
+                            sig_mode: str = "auto") -> DataFrame:
     """(id_a, id_b, n_shared_bands) candidate near-dup pairs via LSH.
 
-    Two physical strategies for the signatures (``sig_mode``):
+    Two physical strategies for the signatures (``sig_mode``; the
+    default ``"auto"`` picks by Catalyst's input-size estimate — see
+    minhash_banded / ARROW_SIG_BYTES):
 
-    - ``"grouped"`` (default): explode shingle hashes once, then ONE
-      grouped aggregation computes all num_perm minima (map-side partial
+    - ``"grouped"``: explode shingle hashes once, then ONE grouped
+      aggregation computes all num_perm minima (map-side partial
       agg — each shingle hashed exactly once, all JVM). The
       array-expression formulation (minhash_signature inside a single
       projection) is quadratic in practice: Catalyst re-evaluates the
@@ -289,10 +346,11 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
       and the PythonUDF node is an evaluation barrier, so the band
       expressions read the materialized array instead of re-deriving it.
       The regime this targets is a corpus whose full-width signature
-      shuffle dominates (wide docs × 10^10 rows); on SMALL corpora the
-      Python-worker round-trip costs more than the shuffle it removes
-      (same-climate A/B on the 600-doc twin corpus: 3.1s arrow vs 1.9s
-      grouped), so grouped stays the default. The permutation families
+      shuffle dominates; on SMALL corpora the Python-worker round-trip
+      costs more than the shuffle it removes. Measured crossover
+      (BENCH/minhash_ab.py, best-of-3, local[32]): grouped wins ≤11 MB
+      of input, arrow wins ≥55 MB (30.2 vs 43.1 s at 100k docs) —
+      hence the 32 MB auto threshold. The permutation families
       differ, so candidate sets are not byte-identical across modes
       (both satisfy the recall oracles).
 

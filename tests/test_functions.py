@@ -148,6 +148,42 @@ def test_minhash_pairs_arrow_mode(spark):
         minhash_candidate_pairs(df, sig_mode="nope")
 
 
+def test_minhash_sig_mode_auto_selects_by_input_size(spark, monkeypatch,
+                                                     tmp_path):
+    """sig_mode="auto" picks the physical strategy from Catalyst's input
+    size estimate (driver-side, no job): below the threshold → grouped
+    aggregation (no Python node in the plan), at/above → the Arrow
+    signature path (exactly ONE ArrowEvalPython node — the double
+    filter/projection extraction was a measured 2× signature cost). A
+    plan with no real statistics (createDataFrame → LogicalRDD reports
+    the Long.MaxValue sentinel) must mean "unknown", falling back to
+    grouped — never "huge". Same pick-by-input-bytes pattern as the MoR
+    resolve auto-select."""
+    from stellar_ledger_data_indexer_spark.functions.dedup_text import \
+        minhash_banded
+    base = "spark merge window agg filter join scan shuffle broadcast skew"
+    local = spark.createDataFrame(
+        [(1, base, "s"), (2, base + " extra", "s")], DOC_SCHEMA)
+    pq = str(tmp_path / "docs.parquet")
+    local.write.parquet(pq)
+    df = spark.read.parquet(pq)
+
+    def plan(docs, threshold):
+        monkeypatch.setenv("SLDI_MINHASH_ARROW_BYTES", str(threshold))
+        banded = minhash_banded(docs, num_perm=16, num_bands=8)
+        return banded._jdf.queryExecution().executedPlan().toString()
+    # parquet scan has file-size stats: the tiny corpus sits below any
+    # real threshold → grouped; threshold 1 forces the arrow branch
+    assert "ArrowEvalPython" not in plan(df, 1 << 40)
+    arrow_plan = plan(df, 1)
+    assert arrow_plan.count("ArrowEvalPython") == 1
+    # statless local relation: auto = grouped even at threshold 1
+    assert "ArrowEvalPython" not in plan(local, 1)
+    # boundary value 0 never errors and the pipeline still runs
+    monkeypatch.setenv("SLDI_MINHASH_ARROW_BYTES", "0")
+    assert minhash_candidate_pairs(df, num_perm=16, num_bands=8).count() >= 1
+
+
 def test_dedup_neardup_end_to_end(spark):
     """Full near-dup removal: LSH candidates → exact verify → clusters →
     canonical survivors. Transitivity matters: A~B and B~C with A,C not
