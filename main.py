@@ -187,6 +187,30 @@ def build_parser() -> argparse.ArgumentParser:
                          "at or before this unix-seconds or ISO-8601 "
                          "timestamp")
     rd.add_argument("--master", default=None)
+    ch = sub.add_parser("changes", help="incremental changelog read "
+                                        "(CDC-out): rows committed after "
+                                        "--from-snapshot up to "
+                                        "--to-snapshot, with _change_type "
+                                        "and _commit_version — downstream "
+                                        "consumers tail the table itself "
+                                        "instead of re-reading it")
+    ch.add_argument("--warehouse", required=True)
+    ch.add_argument("--table", default="documents")
+    ch.add_argument("--from-snapshot", type=int, default=None,
+                    help="exclusive lower bound (the consumer's cursor)")
+    ch.add_argument("--from-ts", default=None,
+                    help="alternative cursor: newest snapshot committed at "
+                         "or before this unix-seconds or ISO-8601 timestamp")
+    ch.add_argument("--to-snapshot", type=int, default=None,
+                    help="inclusive upper bound (default: current head)")
+    ch.add_argument("--net", action="store_true",
+                    help="one NET row per key classified against the "
+                         "from-state (insert/update_after/delete, no-ops "
+                         "dropped) instead of one row per (commit, key)")
+    ch.add_argument("--limit", type=int, default=None,
+                    help="max rows printed (default 1000; --all streams)")
+    ch.add_argument("--all", action="store_true")
+    ch.add_argument("--master", default=None)
     for verb, hlp in (
             ("compact", "fold merge-on-read deltas / coalesce small files "
                         "per bucket (Spark job; state unchanged)"),
@@ -423,6 +447,76 @@ def cmd_read(args: argparse.Namespace) -> int:
                 print(json.dumps(r.asDict(), default=str))
             n = min(len(rows), cap)
         summary = {"rows": n, "table": args.table, "snapshot": snap_read}
+        if truncated:
+            summary["truncated"] = True
+            summary["note"] = ("output capped; pass --limit N or --all "
+                               "(streams, no driver materialization)")
+        print(json.dumps(summary), file=sys.stderr)
+        return 0
+    finally:
+        spark.stop()
+
+
+def cmd_changes(args: argparse.Namespace) -> int:
+    """Incremental changelog read from the CLI: one JSON object per
+    changed row on stdout (commit order for raw, keyed net changes with
+    --net), summary on stderr. The from-cursor is a snapshot version or
+    a timestamp; a consumer persists the summary's to_snapshot as its
+    next cursor — exactly the poll-by-cursor loop the reference's
+    downstream consumers run against its indexed tables."""
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+    from stellar_ledger_data_indexer_spark.session import get_spark
+
+    tpath = os.path.join(args.warehouse, args.table)
+    if not LakeTable.exists(tpath):
+        print(json.dumps({"error": "no such table", "table": args.table}),
+              file=sys.stderr)
+        return 2
+    if (args.from_snapshot is None) == (args.from_ts is None):
+        print(json.dumps({"error": "pass exactly one of --from-snapshot "
+                                   "or --from-ts"}), file=sys.stderr)
+        return 2
+    t = LakeTable(tpath)
+    if args.from_ts is not None:
+        try:
+            ts = float(args.from_ts)
+        except ValueError:
+            from datetime import datetime
+            ts = datetime.fromisoformat(args.from_ts).timestamp()
+        from_snapshot = t.snapshot_as_of(ts)
+    else:
+        from_snapshot = args.from_snapshot
+    to_snapshot = (args.to_snapshot if args.to_snapshot is not None
+                   else t.version)
+    if from_snapshot >= to_snapshot:
+        # cursor already at (or past) the head: an empty poll, not an
+        # error — the consumer's steady state between commits
+        print(json.dumps({"rows": 0, "table": args.table,
+                          "from_snapshot": from_snapshot,
+                          "to_snapshot": to_snapshot}), file=sys.stderr)
+        return 0
+    spark = get_spark(app="sldi-changes", master=args.master)
+    try:
+        df = t.changelog(spark, from_snapshot, to_snapshot,
+                         mode="net" if args.net else "raw")
+        if not args.net:
+            df = df.orderBy("_commit_version")
+        n, truncated = 0, False
+        if args.all:
+            for r in df.toLocalIterator():
+                print(json.dumps(r.asDict(), default=str))
+                n += 1
+        else:
+            cap = args.limit if args.limit is not None else 1000
+            rows = df.limit(cap + 1).collect()
+            truncated = len(rows) > cap
+            for r in rows[:cap]:
+                print(json.dumps(r.asDict(), default=str))
+            n = min(len(rows), cap)
+        summary = {"rows": n, "table": args.table,
+                   "from_snapshot": from_snapshot,
+                   "to_snapshot": to_snapshot,
+                   "mode": "net" if args.net else "raw"}
         if truncated:
             summary["truncated"] = True
             summary["note"] = ("output capped; pass --limit N or --all "
@@ -701,6 +795,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_inspect(args)
     if args.cmd == "read":
         return cmd_read(args)
+    if args.cmd == "changes":
+        return cmd_changes(args)
     if args.cmd in ("compact", "expire-snapshots", "vacuum", "rollback"):
         return cmd_maintenance(args)
     args = resolve_config(args)
@@ -715,4 +811,13 @@ def main(argv: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    try:
+        rc = main()
+    except BrokenPipeError:
+        # downstream pager/head closed stdout mid-row-stream (read /
+        # changes verbs) — the unix convention is a quiet exit, not a
+        # traceback; reopen stdout on devnull so interpreter shutdown
+        # doesn't re-raise on flush
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        rc = 0
+    raise SystemExit(rc)

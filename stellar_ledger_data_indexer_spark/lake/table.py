@@ -471,36 +471,8 @@ class LakeTable:
         has_delta = any(f.kind == "delta" for f in files)
 
         def mapped(subset: list[DataFile], with_csq: bool) -> DataFrame:
-            """Union the subset grouped by (schema version, commit_seq),
-            mapping old physical columns to current names by field id."""
-            by_grp: dict[tuple[int, int], list[str]] = {}
-            for f in subset:
-                csq = f.commit_seq if with_csq else 0
-                by_grp.setdefault((f.schema_version, csq), []).append(
-                    os.path.join(self.path, f.path))
-            parts: list[DataFrame] = []
-            for (sv, csq), paths in sorted(by_grp.items()):
-                old_fields = man["schemas"][str(sv)]
-                old_schema = T.StructType(
-                    [_field_from_json(d) for d in old_fields])
-                df = spark.read.schema(old_schema).parquet(*paths)
-                by_id = {f["id"]: f["name"] for f in old_fields}
-                cols = []
-                for cf in cur_fields:
-                    old_name = by_id.get(cf["id"])
-                    if old_name is None:
-                        cols.append(F.lit(None).cast(
-                            T._parse_datatype_json_string(cf["type"]))
-                            .alias(cf["name"]))
-                    else:
-                        cols.append(F.col(old_name).alias(cf["name"]))
-                if with_csq:
-                    cols.append(F.lit(csq).alias("_csq"))
-                parts.append(df.select(*cols))
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-            return out
+            return self._project_files(spark, man, subset, with_csq,
+                                       cur_fields)
 
         def finish(df: DataFrame) -> DataFrame:
             # residual seq predicate last: on the no-delta path Catalyst
@@ -543,6 +515,228 @@ class LakeTable:
                .withColumn("_rn", F.row_number().over(w))
                .filter(F.col("_rn") == 1).drop("_rn", "_csq"))
         return finish(out.select(*cur_names))
+
+    def _project_files(self, spark: SparkSession, man: dict[str, Any],
+                       subset: list[DataFile], with_csq: bool,
+                       cur_fields: list[dict[str, Any]] | None = None) \
+            -> DataFrame:
+        """Union ``subset`` grouped by (schema version, commit_seq),
+        mapping old physical columns to ``cur_fields`` names by field id
+        (default: ``man``'s current schema) and null-filling columns a
+        file predates. ``man`` supplies the schema history — any manifest
+        at/after every file's commit works."""
+        if cur_fields is None:
+            cur_fields = man["schemas"][str(man["schema_version"])]
+        by_grp: dict[tuple[int, int], list[str]] = {}
+        for f in subset:
+            csq = f.commit_seq if with_csq else 0
+            by_grp.setdefault((f.schema_version, csq), []).append(
+                os.path.join(self.path, f.path))
+        parts: list[DataFrame] = []
+        for (sv, csq), paths in sorted(by_grp.items()):
+            old_fields = man["schemas"][str(sv)]
+            old_schema = T.StructType(
+                [_field_from_json(d) for d in old_fields])
+            df = spark.read.schema(old_schema).parquet(*paths)
+            by_id = {f["id"]: f["name"] for f in old_fields}
+            cols = []
+            for cf in cur_fields:
+                old_name = by_id.get(cf["id"])
+                if old_name is None:
+                    cols.append(F.lit(None).cast(
+                        T._parse_datatype_json_string(cf["type"]))
+                        .alias(cf["name"]))
+                else:
+                    cols.append(F.col(old_name).alias(cf["name"]))
+            if with_csq:
+                cols.append(F.lit(csq).alias("_csq"))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ----------------------------------------------------------- changelog
+    # Commits that never change logical table state: physical layout
+    # (compact, fold_rows), schema-only evolution, table creation.
+    _NO_DATA_OPS = frozenset({"create", "compact", "fold_rows", "evolve",
+                              "add-column", "rename-column", "drop-column"})
+
+    def _aligned_state(self, spark: SparkSession, snapshot: int,
+                       buckets: Iterable[int] | None,
+                       cur_fields: list[dict[str, Any]]) -> DataFrame:
+        """Resolved state at ``snapshot`` projected to ``cur_fields``
+        names by FIELD ID (rename-safe; columns the snapshot predates are
+        null-filled, columns since dropped are omitted) — so two
+        snapshots straddling schema evolution diff on aligned columns."""
+        df = self.read(spark, buckets=buckets, snapshot=snapshot)
+        man = self._load_manifest(snapshot)
+        by_id = {f["id"]: f["name"]
+                 for f in man["schemas"][str(man["schema_version"])]}
+        cols = []
+        for cf in cur_fields:
+            old = by_id.get(cf["id"])
+            cols.append(F.lit(None).cast(
+                T._parse_datatype_json_string(cf["type"])).alias(cf["name"])
+                if old is None else F.col(old).alias(cf["name"]))
+        return df.select(*cols)
+
+    def changelog(self, spark: SparkSession, from_snapshot: int,
+                  to_snapshot: int | None = None,
+                  mode: str = "raw") -> DataFrame:
+        """Incremental changelog read (CDC-out): the changes committed
+        AFTER ``from_snapshot`` up to and including ``to_snapshot``
+        (default: current), as a DataFrame in the to-snapshot schema plus
+        ``_change_type`` and ``_commit_version`` — the Iceberg
+        changelog-scan / Delta CDF analog, and the piece that lets a
+        downstream consumer tail THIS table instead of re-reading it
+        (the reference's consumers poll indexed tables by cursor,
+        internal/db/utils.go; here the manifest chain IS the cursor).
+
+        Cost model — the point of the design: merge-on-read and append
+        commits are read from ONLY the files that commit introduced
+        (our deltas are fully-resolved replacement rows per touched key,
+        so the post-image is already materialized — no join, no scan of
+        unchanged data; O(changed rows) at any table size). Copy-on-write
+        merges fall back to a keyed state diff of the rewritten buckets
+        only; overwrite/rollback diff the whole state (they can change
+        anything). Compaction, control-table folds, and schema evolution
+        change no logical rows and are skipped.
+
+        ``mode="raw"``: one row per (commit, touched key), in commit
+        order: ``_change_type`` is ``upsert`` (post-image row) or
+        ``delete`` (key vanished from state — only possible via
+        rollback/overwrite on this tombstone-style table; engine deletes
+        are upserts with their tombstone flag set, which consumers map
+        themselves).
+
+        ``mode="net"``: one row per key — the NEWEST change in the range
+        classified against the from-state: ``insert`` (key absent at
+        from), ``update_after`` (present, value changed), ``delete``
+        (present, gone at to). Keys whose net value equals the
+        from-state (e.g. changed then rolled back) are dropped. Requires
+        the bucket key; costs raw + one bucket-pruned read of the
+        from-state joined on key.
+
+        Applying raw changes in commit order (or net changes in any
+        order) onto the from-state reproduces the to-state exactly —
+        pinned by tests/test_lake_table.py."""
+        if to_snapshot is None:
+            to_snapshot = self.version
+        if mode not in ("raw", "net"):
+            raise ValueError(f"mode must be raw|net, got {mode}")
+        if from_snapshot >= to_snapshot:
+            raise ValueError(
+                f"from_snapshot {from_snapshot} must precede "
+                f"to_snapshot {to_snapshot}")
+        have = set(self.snapshots())
+        missing = [v for v in range(from_snapshot, to_snapshot + 1)
+                   if v not in have]
+        if missing:
+            raise ValueError(
+                f"snapshots {missing} expired or unknown — changelog "
+                f"needs the contiguous manifest chain (retained history)")
+        to_man = self._load_manifest(to_snapshot)
+        cur_fields = to_man["schemas"][str(to_man["schema_version"])]
+        cur_names = [f["name"] for f in cur_fields]
+        key = self.bucket_col
+        ct, cv = "_change_type", "_commit_version"
+        out_schema = T.StructType(
+            [_field_from_json(d) for d in cur_fields]
+            + [T.StructField(ct, T.StringType(), False),
+               T.StructField(cv, T.LongType(), False)])
+
+        parts: list[DataFrame] = []
+        buckets_touched: set[int] | None = set()
+        for v in range(from_snapshot + 1, to_snapshot + 1):
+            man = self._load_manifest(v)
+            op = man["operation"]
+            if op in self._NO_DATA_OPS:
+                continue
+            if op in ("append", "merge-delta"):
+                intro = [DataFile.from_json(d) for d in man["files"]
+                         if d.get("commit_seq", 0) == v]
+                if not intro:
+                    continue
+                if buckets_touched is not None:
+                    bs = {f.bucket for f in intro}
+                    buckets_touched = (None if None in bs
+                                       else buckets_touched | bs)
+                df = self._project_files(spark, man, intro, False,
+                                         cur_fields).select(*cur_names)
+                parts.append(df.select(
+                    *cur_names, F.lit("upsert").alias(ct),
+                    F.lit(v).cast("long").alias(cv)))
+                continue
+            # state-changing rewrite (merge CoW, overwrite, rollback-*,
+            # unknown ops conservatively included): keyed diff vs parent
+            if key is None:
+                raise ValueError(
+                    f"changelog across a {op!r} commit (v{v}) requires "
+                    f"a bucketed keyed table to diff states")
+            if op == "merge":
+                bs_v = sorted({d["bucket"] for d in man["files"]
+                               if d.get("commit_seq", 0) == v})
+                diff_buckets: Iterable[int] | None = bs_v
+                if buckets_touched is not None:
+                    buckets_touched |= set(bs_v)
+            else:
+                diff_buckets = None
+                buckets_touched = None
+            n = self._aligned_state(spark, v, diff_buckets,
+                                    cur_fields).alias("n")
+            o = self._aligned_state(spark, v - 1, diff_buckets,
+                                    cur_fields).alias("o")
+            n_key, o_key = F.col(f"n.{key}"), F.col(f"o.{key}")
+            n_struct = F.struct(*[F.col(f"n.{c}") for c in cur_names])
+            o_struct = F.struct(*[F.col(f"o.{c}") for c in cur_names])
+            j = n.join(o, n_key.eqNullSafe(o_key), "full_outer")
+            changed = j.filter(~n_struct.eqNullSafe(o_struct))
+            cols = []
+            for c in cur_names:
+                if c == key:
+                    cols.append(F.coalesce(n_key, o_key).alias(c))
+                else:
+                    # delete rows carry only the key (post-image is gone)
+                    cols.append(F.when(n_key.isNotNull(),
+                                       F.col(f"n.{c}")).alias(c))
+            parts.append(changed.select(
+                *cols,
+                F.when(n_key.isNull(), F.lit("delete"))
+                .otherwise(F.lit("upsert")).alias(ct),
+                F.lit(v).cast("long").alias(cv)))
+
+        if not parts:
+            return spark.createDataFrame([], out_schema)
+        raw = parts[0]
+        for p in parts[1:]:
+            raw = raw.unionByName(p)
+        if mode == "raw":
+            return raw
+        if key is None:
+            raise ValueError("mode='net' requires a bucketed keyed table")
+
+        from pyspark.sql import Window
+        w = Window.partitionBy(key).orderBy(F.desc(cv))
+        newest = (raw.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn")).alias("n")
+        old = self._aligned_state(
+            spark, from_snapshot,
+            sorted(buckets_touched) if buckets_touched is not None else None,
+            cur_fields).alias("o")
+        n_key, o_key = F.col(f"n.{key}"), F.col(f"o.{key}")
+        n_vals = F.struct(*[F.col(f"n.{c}") for c in cur_names])
+        o_vals = F.struct(*[F.col(f"o.{c}") for c in cur_names])
+        j = newest.join(old, n_key.eqNullSafe(o_key), "left")
+        was_deleted = F.col(f"n.{ct}") == "delete"
+        net_ct = (F.when(was_deleted & o_key.isNotNull(), "delete")
+                  .when(~was_deleted & o_key.isNull(), "insert")
+                  .when(~was_deleted & ~n_vals.eqNullSafe(o_vals),
+                        "update_after"))
+        return (j.withColumn("_net", net_ct)
+                .filter(F.col("_net").isNotNull())
+                .select(*[F.col(f"n.{c}") for c in cur_names],
+                        F.col("_net").alias(ct), F.col(f"n.{cv}")))
 
     # --------------------------------------------------------------- write
     def _write_data(self, df: DataFrame, partitioned: bool) -> list[DataFile]:

@@ -533,3 +533,58 @@ def test_cli_read_default_cap_as_of_and_eq(spark, tmp_path):
     assert a == b and len(a) > 0
     # bad --eq column errors cleanly
     assert _run(["read", "--warehouse", wh, "--eq", "nope=1"]).returncode == 2
+
+
+# ------------------------------------------------------- changes (CDC-out)
+def test_cli_changes_folds_mid_state_to_final(spark, tmp_path):
+    """The changelog verb is a downstream consumer's poll loop: replay
+    half the stream, remember the snapshot cursor, replay the rest, then
+    `changes --from-snapshot <cursor>` + fold onto the mid-state must
+    reproduce the final table exactly. Also: a cursor already at head is
+    an empty poll (rc 0, zero rows, NO Spark session), not an error."""
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+    from stellar_ledger_data_indexer_spark.sources.change_stream import (
+        StreamSpec, write_change_events)
+    events = str(tmp_path / "events")
+    wh = str(tmp_path / "wh")
+    write_change_events(spark, events, StreamSpec(n_events=6000, n_docs=150),
+                        partitions=4)
+    r1 = _run(["append", "--events-path", events, "--warehouse", wh,
+               "--start", "2", "--end", "120", "--epoch-size", "60",
+               "--num-buckets", "8", "--master", "local[4]"])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    t = LakeTable(os.path.join(wh, "documents"))
+    cursor = t.version
+    mid = {r["doc_id"]: r for r in t.read(spark).collect()}
+    r2 = _run(["append", "--events-path", events, "--warehouse", wh,
+               "--start", "2", "--end", "0", "--epoch-size", "60",
+               "--num-buckets", "8", "--master", "local[4]"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    r3 = _run(["changes", "--warehouse", wh, "--from-snapshot", str(cursor),
+               "--all", "--master", "local[4]"])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    summary = json.loads(r3.stderr.strip().splitlines()[-1])
+    t.refresh()
+    assert summary["to_snapshot"] == t.version
+    changes = [json.loads(ln) for ln in r3.stdout.splitlines()]
+    assert len(changes) == summary["rows"] > 0
+    assert all(c["_change_type"] == "upsert" for c in changes)
+    # consumer-side fold: newest _commit_version per key wins
+    state = dict(mid)
+    for c in changes:                       # stdout is in commit order
+        row = {k: v for k, v in c.items()
+               if k not in ("_change_type", "_commit_version")}
+        state[c["doc_id"]] = row
+
+    def norm(d):
+        # CLI rows cross JSON (timestamps as strings); str() both sides
+        return {k: {c: str(v) for c, v in
+                    (r.asDict() if hasattr(r, "asDict") else r).items()}
+                for k, r in d.items()}
+    final = {r["doc_id"]: r for r in t.read(spark).collect()}
+    assert norm(state) == norm(final)
+    # empty poll at head
+    r4 = _run(["changes", "--warehouse", wh, "--from-snapshot",
+               str(t.version)])
+    assert r4.returncode == 0 and r4.stdout.strip() == ""
+    assert json.loads(r4.stderr.strip().splitlines()[-1])["rows"] == 0

@@ -612,3 +612,141 @@ def test_as_of_timestamp_time_travel(spark, tmp_path):
         t.snapshot_as_of(t._load_manifest(1)["committed_at"] - 10)
     with pytest.raises(ValueError):
         t.read(spark, snapshot=v1, as_of=ts_after_v1)
+
+
+# ------------------------------------------------------------- changelog
+def _apply_changes(spark, base, raw, key="doc_id"):
+    """Fold a raw changelog onto a base state: newest change per key
+    wins; upserts replace/insert, deletes remove. Any-order within a key
+    is resolved by _commit_version — the consumer-side apply loop."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(key).orderBy(F.desc("_commit_version"))
+    newest = (raw.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+    cols = base.columns
+    untouched = base.join(newest.select(key), key, "left_anti")
+    applied = (newest.filter(F.col("_change_type") == "upsert")
+               .select(*cols))
+    return untouched.unionByName(applied)
+
+
+def _state(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_changelog_raw_mor_reads_only_introduced_files(spark, tmp_path):
+    """The scale contract: a changelog over merge-on-read commits scans
+    ONLY the files those commits introduced — never the unchanged bulk
+    of the table."""
+    t = mk(spark, tmp_path / "cl1",
+           [(f"doc{i}", 1, i) for i in range(40)], num_buckets=4)
+    v_from = t.version
+    d1 = spark.createDataFrame([("doc1", 2, 100), ("new1", 2, 101)], SCHEMA)
+    t.append_delta(d1.withColumn(BUCKET_COL, t.bucket_expr()),
+                   range(4))
+    v3 = t.version
+    d2 = spark.createDataFrame([("doc2", 3, 200)], SCHEMA)
+    t.append_delta(d2.withColumn(BUCKET_COL, t.bucket_expr()),
+                   range(4))
+    raw = t.changelog(spark, v_from)
+    rows = {(r["doc_id"], r["_commit_version"], r["_change_type"], r["v"])
+            for r in raw.collect()}
+    assert rows == {("doc1", v3, "upsert", 100),
+                    ("new1", v3, "upsert", 101),
+                    ("doc2", v3 + 1, "upsert", 200)}
+    # only the two delta commits' files are in the scan
+    intro = {os.path.join(t.path, f.path) for f in t.files
+             if f.commit_seq > v_from}
+    scanned = {p.split("://", 1)[-1] for p in raw.inputFiles()}
+    assert scanned and scanned <= intro
+
+
+def test_changelog_apply_reproduces_state_across_mixed_history(spark,
+                                                               tmp_path):
+    """Fold(from-state, changelog(from, to)) == to-state across deltas,
+    a compaction (skipped as a no-op), and schema evolution (output in
+    the to-snapshot schema, old rows null-filled)."""
+    t = mk(spark, tmp_path / "cl2",
+           [(f"doc{i}", 1, i) for i in range(30)], num_buckets=4)
+    v_from = t.version
+    base = t.read(spark, snapshot=v_from)
+    d1 = spark.createDataFrame(
+        [("doc3", 5, 300), ("extra", 5, 301)], SCHEMA)
+    t.append_delta(d1.withColumn(BUCKET_COL, t.bucket_expr()), range(4))
+    t.compact(spark)                       # physical only — no changelog rows
+    t.alter_add_column("tag", T.StringType())
+    d2 = (spark.createDataFrame([("doc7", 6, 700, "x")],
+                                t.schema())
+          .withColumn(BUCKET_COL, t.bucket_expr()))
+    t.append_delta(d2, range(4))
+    raw = t.changelog(spark, v_from)
+    assert {r["_change_type"] for r in raw.collect()} == {"upsert"}
+    base_aligned = base.withColumn("tag", F.lit(None).cast("string"))
+    applied = _apply_changes(spark, base_aligned, raw)
+    assert _state(applied) == _state(t.read(spark))
+
+
+def test_changelog_net_classifies_and_drops_noops(spark, tmp_path):
+    t = mk(spark, tmp_path / "cl3",
+           [("a", 1, 1), ("b", 1, 2)], num_buckets=2)
+    v2 = t.version
+    # update a, insert c, rewrite b with an IDENTICAL value (net no-op)
+    d = spark.createDataFrame(
+        [("a", 2, 10), ("c", 2, 3), ("b", 1, 2)], SCHEMA)
+    t.append_delta(d.withColumn(BUCKET_COL, t.bucket_expr()), range(2))
+    v3 = t.version
+    net = {r["doc_id"]: r["_change_type"]
+           for r in t.changelog(spark, v2, mode="net").collect()}
+    assert net == {"a": "update_after", "c": "insert"}
+    # rollback to v2: net over the whole range is empty (changed, then
+    # changed back); net from v3 sees the reversal as update + delete
+    t.rollback(v2)
+    v4 = t.version
+    assert t.changelog(spark, v2, v4, mode="net").count() == 0
+    net2 = {r["doc_id"]: (r["_change_type"], r["v"])
+            for r in t.changelog(spark, v3, v4, mode="net").collect()}
+    assert net2 == {"a": ("update_after", 1), "c": ("delete", None)}
+
+
+def test_changelog_cow_merge_emits_only_value_changes(spark, tmp_path):
+    """A copy-on-write merge rewrites whole buckets; the changelog must
+    diff against the parent and emit only rows whose VALUE changed —
+    rewritten-but-identical keys stay silent."""
+    t = mk(spark, tmp_path / "cl4",
+           [(f"doc{i}", 1, i) for i in range(20)], num_buckets=4)
+    v_from = t.version
+    b2 = t.read(spark, buckets=[2])
+    new = (b2.withColumn("v", F.when(F.col("doc_id") == b2.limit(1)
+                                     .collect()[0]["doc_id"],
+                                     F.lit(999)).otherwise(F.col("v")))
+           .withColumn(BUCKET_COL, t.bucket_expr()))
+    t.overwrite_buckets(new, [2])
+    raw = t.changelog(spark, v_from)
+    got = [(r["doc_id"], r["v"], r["_change_type"]) for r in raw.collect()]
+    assert len(got) == 1 and got[0][1] == 999 and got[0][2] == "upsert"
+    applied = _apply_changes(spark, t.read(spark, snapshot=v_from), raw)
+    assert _state(applied) == _state(t.read(spark))
+
+
+def test_changelog_rollback_emits_deletes_and_validates_range(spark,
+                                                              tmp_path):
+    t = mk(spark, tmp_path / "cl5", [("a", 1, 1)], num_buckets=2)
+    v2 = t.version
+    t.append_delta(spark.createDataFrame([("b", 2, 2)], SCHEMA)
+                   .withColumn(BUCKET_COL, t.bucket_expr()), range(2))
+    v3 = t.version
+    t.rollback(v2)
+    raw = {(r["doc_id"], r["_change_type"])
+           for r in t.changelog(spark, v3).collect()}
+    assert raw == {("b", "delete")}
+    applied = _apply_changes(spark, t.read(spark, snapshot=v3),
+                             t.changelog(spark, v3))
+    assert _state(applied) == _state(t.read(spark))
+    with pytest.raises(ValueError, match="precede"):
+        t.changelog(spark, t.version)
+    with pytest.raises(ValueError, match="mode"):
+        t.changelog(spark, v2, mode="bogus")
+    # expired history is an explicit error, not silence
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        t.changelog(spark, v2, t.version)
