@@ -22,7 +22,9 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import sys
+import time
 
 # options that participate in the config/env/flag layering: name → (type,
 # built-in default). Booleans accept 1/true/yes in env.
@@ -210,6 +212,13 @@ def build_parser() -> argparse.ArgumentParser:
     ch.add_argument("--limit", type=int, default=None,
                     help="max rows printed (default 1000; --all streams)")
     ch.add_argument("--all", action="store_true")
+    ch.add_argument("--follow", action="store_true",
+                    help="after the initial range, keep polling the "
+                         "manifest head and emit each new commit's "
+                         "changes as they land (cursor advances "
+                         "per poll; SIGINT drains and exits 130) — the "
+                         "consumer-side tail of the table")
+    ch.add_argument("--poll-interval", type=float, default=2.0)
     ch.add_argument("--master", default=None)
     for verb, hlp in (
             ("compact", "fold merge-on-read deltas / coalesce small files "
@@ -488,7 +497,8 @@ def cmd_changes(args: argparse.Namespace) -> int:
         from_snapshot = args.from_snapshot
     to_snapshot = (args.to_snapshot if args.to_snapshot is not None
                    else t.version)
-    if from_snapshot >= to_snapshot:
+    follow = getattr(args, "follow", False)
+    if from_snapshot >= to_snapshot and not follow:
         # cursor already at (or past) the head: an empty poll, not an
         # error — the consumer's steady state between commits
         print(json.dumps({"rows": 0, "table": args.table,
@@ -496,16 +506,18 @@ def cmd_changes(args: argparse.Namespace) -> int:
                           "to_snapshot": to_snapshot}), file=sys.stderr)
         return 0
     spark = get_spark(app="sldi-changes", master=args.master)
-    try:
-        df = t.changelog(spark, from_snapshot, to_snapshot,
-                         mode="net" if args.net else "raw")
+    mode = "net" if args.net else "raw"
+
+    def emit_range(lo: int, hi: int, stream: bool) -> None:
+        df = t.changelog(spark, lo, hi, mode=mode)
         if not args.net:
             df = df.orderBy("_commit_version")
         n, truncated = 0, False
-        if args.all:
+        if stream:
             for r in df.toLocalIterator():
                 print(json.dumps(r.asDict(), default=str))
                 n += 1
+            sys.stdout.flush()
         else:
             cap = args.limit if args.limit is not None else 1000
             rows = df.limit(cap + 1).collect()
@@ -513,16 +525,39 @@ def cmd_changes(args: argparse.Namespace) -> int:
             for r in rows[:cap]:
                 print(json.dumps(r.asDict(), default=str))
             n = min(len(rows), cap)
-        summary = {"rows": n, "table": args.table,
-                   "from_snapshot": from_snapshot,
-                   "to_snapshot": to_snapshot,
-                   "mode": "net" if args.net else "raw"}
+        summary = {"rows": n, "table": args.table, "from_snapshot": lo,
+                   "to_snapshot": hi, "mode": mode}
         if truncated:
             summary["truncated"] = True
             summary["note"] = ("output capped; pass --limit N or --all "
                                "(streams, no driver materialization)")
         print(json.dumps(summary), file=sys.stderr)
-        return 0
+        sys.stderr.flush()
+
+    try:
+        if from_snapshot < to_snapshot:
+            emit_range(from_snapshot, to_snapshot, args.all or follow)
+        if not follow:
+            return 0
+        # consumer-side tail: poll the manifest head (driver-side file
+        # listing, no Spark job between commits) and emit each advance.
+        # First SIGINT finishes the in-flight batch and exits 130 —
+        # the same drain contract as `stream --follow`.
+        stop = {"flag": False}
+
+        def on_sigint(_sig, _frm):
+            stop["flag"] = True
+        signal.signal(signal.SIGINT, on_sigint)
+        cursor = to_snapshot
+        while not stop["flag"]:
+            time.sleep(args.poll_interval)
+            head = t.refresh().version
+            if head > cursor:
+                emit_range(cursor, head, True)
+                cursor = head
+        print(json.dumps({"status": "interrupted", "cursor": cursor}),
+              file=sys.stderr)
+        return 130
     finally:
         spark.stop()
 

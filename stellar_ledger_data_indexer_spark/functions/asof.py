@@ -1,0 +1,82 @@
+"""As-of (nearest-event) join — the time-series join Spark lacks.
+
+``asof_join(left, right, ...)`` attaches, to every left row, the value
+columns of the nearest right row at or before (``backward``) / at or
+after (``forward``) the left row's ordering key, per group — pandas'
+``merge_asof`` / DuckDB's ``ASOF JOIN``, re-expressed for Spark's
+execution model.
+
+Physical shape (the point): tag both sides, union, and run ONE keyed
+window with ``last(value, ignorenulls=True)`` over rows-unbounded-
+preceding — no join at all. One hash exchange on the group key, then a
+single sorted pass per group; right values propagate forward through
+the frame, so each left row reads the latest right value seen so far.
+At 10^10 rows that is strictly cheaper than any join formulation: a
+range join explodes, a windowed equi-join shuffles both sides twice,
+and Spark has no native asof physical operator. Skewed group keys
+behave like any keyed window (salt upstream if one group dominates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              by: str | list[str], values: list[str],
+              direction: str = "backward", strict: bool = False,
+              suffix: str = "_asof") -> DataFrame:
+    """For each left row: the ``values`` columns of the nearest right
+    row per ``by`` group along ``on``. ``backward`` takes the latest
+    right row with ``right.on <= left.on`` (``<`` when ``strict``);
+    ``forward`` the earliest with ``>=`` (``>`` when strict). Left rows
+    with no matching right row get nulls (left-join semantics). Output:
+    every left column plus ``<value><suffix>`` per value column.
+
+    Ties inside the right side (two right rows at the same ``on``)
+    resolve to the one latest in the union's sort — deterministic given
+    a deterministic right ordering; add a tiebreak column to ``on``
+    upstream if the right side can carry exact duplicates.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, "
+                         f"got {direction}")
+    by_list = [by] if isinstance(by, str) else list(by)
+    for v in values:
+        if v not in right.columns:
+            raise ValueError(f"value column {v!r} not in right side")
+    lcols = left.columns
+    lonly = [c for c in lcols if c not in by_list and c != on]
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+
+    l2 = left.select(
+        *by_list,
+        F.col(on).alias("_on"),
+        *[F.col(c) for c in lonly],
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(rtypes[v]).alias(f"_rv_{v}") for v in values])
+    r2 = right.select(
+        *by_list,
+        F.col(on).alias("_on"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lonly],
+        F.lit(0).alias("_side"),
+        *[F.col(v).alias(f"_rv_{v}") for v in values])
+    u = l2.unionByName(r2)
+
+    # sort: along _on in match direction; at equal _on the right row
+    # sorts before the left iff equality should match (non-strict)
+    onc = F.col("_on").asc() if direction == "backward" \
+        else F.col("_on").desc()
+    side = F.col("_side").desc() if strict else F.col("_side").asc()
+    w = (Window.partitionBy(*by_list).orderBy(onc, side)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    for v in values:
+        u = u.withColumn(f"_asof_{v}",
+                         F.last(F.col(f"_rv_{v}"), ignorenulls=True).over(w))
+    out_cols = ([F.col("_on").alias(c) if c == on else F.col(c)
+                 for c in lcols]
+                + [F.col(f"_asof_{v}").alias(f"{v}{suffix}")
+                   for v in values])
+    return u.filter(F.col("_side") == 1).select(*out_cols)

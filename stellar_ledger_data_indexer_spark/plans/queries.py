@@ -587,6 +587,92 @@ def lag_gap_events(spark, sf):
         (F.col("event_id") - F.lag("event_id").over(w)).alias("gap"))
 
 
+@_q("sessionize_events", """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE user_id < 100
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+FROM s GROUP BY user_id, sid
+""")
+def sessionize_events(spark, sf):
+    """Gap-based sessionization — the canonical event-stream analytic a
+    CDC-fed events table serves downstream: a session breaks after a
+    30-minute silence per user. Two stacked windows (LAG to flag
+    session starts, running SUM to number them) then one aggregation;
+    all three share the (user_id) partitioning, so Catalyst plans ONE
+    hash exchange reused across both WindowExecs and the final partial
+    agg — the at-scale shape (no per-session shuffle, no self-join).
+    Timestamps compared in exact integer microseconds (unix_micros ≙
+    DuckDB epoch_us) — no float epsilon in the oracle. Sliced to
+    user_id < 100 to bound the oracle at any sf."""
+    e = _t(spark, sf, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    def us(c):
+        # events.ts is TIMESTAMP_NTZ; session tz is UTC, so the cast is
+        # the identity interpretation DuckDB's epoch_us uses on naive ts
+        return F.unix_micros(c.cast("timestamp"))
+    gap_us = us(F.col("ts")) - us(F.lag("ts").over(w))
+    new_s = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1) \
+        .otherwise(0)
+    return (e.withColumn("_new", new_s)
+            .withColumn("session_id", F.sum("_new").over(run))
+            .groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min(us(F.col("ts"))).alias("start_us"),
+                 F.max(us(F.col("ts"))).alias("end_us")))
+
+
+@_q("asof_last_click_before_error", """
+SELECT event_id, user_id,
+       epoch_us(ts) - epoch_us(last_click) AS gap_us
+FROM (
+  SELECT e.event_id, e.user_id, e.ts,
+         (SELECT MAX(c.ts) FROM events c
+          WHERE c.user_id = e.user_id AND c.event_type = 'click'
+            AND c.ts < e.ts) AS last_click
+  FROM events e WHERE e.event_type = 'error' AND e.user_id < 100) t
+WHERE last_click IS NOT NULL
+""")
+def asof_last_click_before_error(spark, sf):
+    """As-of join (functions/asof.asof_join): for every error event, the
+    microsecond gap since the same user's latest STRICTLY-earlier click
+    — pandas merge_asof / DuckDB ASOF JOIN semantics, which Spark has no
+    operator for. The implementation is the union + keyed-window form:
+    ONE hash exchange on user_id and a single sorted pass in which click
+    timestamps propagate forward via last(ignorenulls) — no join node at
+    all (a range join is quadratic in bucket width; an equi-join +
+    subquery shuffles the big side twice). Oracle: correlated MAX
+    subquery (decorrelates to the same aggregation). Sliced to
+    user_id < 100 to bound the oracle at any sf."""
+    from ..functions.asof import asof_join
+    e = _t(spark, sf, "events").filter(F.col("user_id") < 100)
+    errors = (e.filter(F.col("event_type") == "error")
+              .select("event_id", "user_id", "ts"))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", "ts"))
+    j = asof_join(errors, clicks, on="ts", by="user_id", values=["ts"],
+                  direction="backward", strict=True, suffix="_click")
+    return (j.filter(F.col("ts_click").isNotNull())
+            .select("event_id", "user_id",
+                    (F.unix_micros(F.col("ts").cast("timestamp"))
+                     - F.unix_micros(F.col("ts_click").cast("timestamp")))
+                    .alias("gap_us")))
+
+
 @_q("except_urgent_custs", """
 SELECT o_custkey AS custkey FROM orders
 EXCEPT

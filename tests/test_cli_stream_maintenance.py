@@ -588,3 +588,78 @@ def test_cli_changes_folds_mid_state_to_final(spark, tmp_path):
                str(t.version)])
     assert r4.returncode == 0 and r4.stdout.strip() == ""
     assert json.loads(r4.stderr.strip().splitlines()[-1])["rows"] == 0
+
+
+def test_cli_changes_follow_tails_new_commits(spark, tmp_path):
+    """`changes --follow` is the consumer side of the CDC-out loop: a
+    tailing process emits each new commit's rows as a writer lands them.
+    Replay half the stream, start the tail from that head, replay the
+    rest WHILE tailing; the tail must emit exactly the rows that fold
+    the mid-state into the final state, then drain on SIGINT (rc 130)."""
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+    from stellar_ledger_data_indexer_spark.sources.change_stream import (
+        StreamSpec, write_change_events)
+    events = str(tmp_path / "events")
+    wh = str(tmp_path / "wh")
+    write_change_events(spark, events, StreamSpec(n_events=6000, n_docs=150),
+                        partitions=4)
+    r1 = _run(["append", "--events-path", events, "--warehouse", wh,
+               "--start", "2", "--end", "120", "--epoch-size", "60",
+               "--num-buckets", "8", "--master", "local[4]"])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    t = LakeTable(os.path.join(wh, "documents"))
+    cursor = t.version
+    mid = {r["doc_id"]: r for r in t.read(spark).collect()}
+    p = subprocess.Popen(
+        [sys.executable, MAIN, "changes", "--warehouse", wh,
+         "--from-snapshot", str(cursor), "--follow", "--poll-interval",
+         "0.5", "--master", "local[4]"],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+    try:
+        r2 = _run(["append", "--events-path", events, "--warehouse", wh,
+                   "--start", "2", "--end", "0", "--epoch-size", "60",
+                   "--num-buckets", "8", "--master", "local[4]"])
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        t.refresh()
+        deadline = time.time() + 240
+        lines: list[str] = []
+        os.set_blocking(p.stdout.fileno(), False)
+        buf = b""
+
+        def drain():
+            nonlocal buf
+            chunk = p.stdout.read()       # None when no data is ready
+            if chunk:
+                buf += chunk
+                *full, buf = buf.split(b"\n")
+                lines.extend(ln.decode() for ln in full
+                             if ln.startswith(b"{"))
+        # wait until the tail has emitted every changed key
+        want_rows = t.changelog(spark, cursor).count()
+        while len(lines) < want_rows and time.time() < deadline:
+            assert p.poll() is None, "changes --follow exited early"
+            drain()
+            time.sleep(0.5)
+        drain()
+        p.send_signal(signal.SIGINT)
+        rc = p.wait(timeout=120)
+        drain()
+    finally:
+        if p.poll() is None:
+            p.kill()
+            p.wait(timeout=60)
+    assert rc == 130
+    changes = [json.loads(ln) for ln in lines]
+    assert len(changes) == want_rows > 0
+    state = dict(mid)
+    for c in sorted(changes, key=lambda c: c["_commit_version"]):
+        state[c["doc_id"]] = {k: v for k, v in c.items()
+                              if k not in ("_change_type",
+                                           "_commit_version")}
+
+    def norm(d):
+        return {k: {c: str(v) for c, v in
+                    (r.asDict() if hasattr(r, "asDict") else r).items()}
+                for k, r in d.items()}
+    final = {r["doc_id"]: r for r in t.read(spark).collect()}
+    assert norm(state) == norm(final)

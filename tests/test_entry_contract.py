@@ -67,6 +67,7 @@ NON_EMPTY = [
     "join_agg_shuffle", "broadcast_dim_join", "topn_orders",
     "rollup_pricing", "topk_per_group", "semi_join_heavy_parts",
     "distinct_agg_supplier", "running_total_orders",
+    "sessionize_events", "asof_last_click_before_error",
 ]
 
 

@@ -483,3 +483,38 @@ def test_token_count_bpe_pretokenizer(spark):
            df.select("text", token_count_bpe(F.col("text")).alias("n"))
            .collect()}
     assert got == cases
+
+
+def test_asof_join_directions_strictness_and_nulls(spark):
+    """asof_join semantics matrix on a hand-computable fixture:
+    backward non-strict matches an equal-key right row, strict excludes
+    it; forward takes the nearest later row; a group with no right rows
+    yields null (left-join semantics); the plan contains NO join node
+    (union + one keyed window is the whole physical shape)."""
+    from stellar_ledger_data_indexer_spark.functions.asof import asof_join
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 20, "b"), ("u2", 5, "c")],
+        "k string, t long, tag string")
+    right = spark.createDataFrame(
+        [("u1", 10, 100), ("u1", 15, 150)], "k string, t long, v long")
+
+    def got(**kw):
+        out = asof_join(left, right, on="t", by="k", values=["v"], **kw)
+        return {(r["k"], r["t"]): r["v_asof"] for r in out.collect()}
+    assert got(direction="backward") == {
+        ("u1", 10): 100, ("u1", 20): 150, ("u2", 5): None}
+    assert got(direction="backward", strict=True) == {
+        ("u1", 10): None, ("u1", 20): 150, ("u2", 5): None}
+    assert got(direction="forward") == {
+        ("u1", 10): 100, ("u1", 20): None, ("u2", 5): None}
+    assert got(direction="forward", strict=True) == {
+        ("u1", 10): 150, ("u1", 20): None, ("u2", 5): None}
+    plan = (asof_join(left, right, on="t", by="k", values=["v"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan and "Window" in plan
+    import pytest as _pt
+    with _pt.raises(ValueError, match="direction"):
+        asof_join(left, right, on="t", by="k", values=["v"],
+                  direction="sideways")
+    with _pt.raises(ValueError, match="value column"):
+        asof_join(left, right, on="t", by="k", values=["nope"])
