@@ -408,6 +408,10 @@ class LakeTable:
         source-equality read is real). Files without stats for a column
         are kept; the same bucket-granular rule applies under deltas; the
         residual equality filter always applies — exact either way.
+        When the eq column IS the bucket key, the driver replays the
+        pmod(xxhash64) bucket arithmetic (lake/xxh64.py) and scans only
+        that one bucket — a point lookup touches 1/num_buckets of the
+        table regardless of stats, the hash-index read analog.
 
         ``as_of=<unix seconds>`` time-travels to the newest snapshot
         committed at or before that instant (see ``snapshot_as_of``);
@@ -442,18 +446,36 @@ class LakeTable:
         for c, v in (eq or {}).items():
             if c not in cur_names:
                 raise ValueError(f"eq column {c!r} not in schema")
-            cond = F.col(c) == F.lit(v)
+            vals = (list(v) if isinstance(v, (list, tuple, set, frozenset))
+                    else [v])            # a list means IN-list lookup
+            cond = (F.col(c) == F.lit(vals[0]) if len(vals) == 1
+                    else F.col(c).isin(vals))
             residual = cond if residual is None else residual & cond
 
-            def _eq_overlaps(f: DataFile, c=c, v=v) -> bool:
+            def _eq_overlaps(f: DataFile, c=c, vals=vals) -> bool:
                 s = (f.stats or {}).get(c)
                 if s is None:
                     return True          # no stats harvested → keep
                 try:
-                    return s[0] <= v <= s[1]
+                    return any(s[0] <= x <= s[1] for x in vals)
                 except TypeError:
                     return True          # incomparable types → keep
             keep_preds.append(_eq_overlaps)
+        if eq and self.bucket_col in eq and self.num_buckets > 0:
+            # point / in-list lookup on the bucket key: the
+            # pmod(xxhash64) bucket arithmetic is replayed driver-side
+            # (lake/xxh64.py, parity test-pinned), so only the buckets
+            # that can hold the requested keys survive — the hash-index
+            # read the reference serves from its transaction_hash/
+            # contract_id indexes. Exact by construction: every version
+            # of a key (base + deltas) lives in its bucket, so no other
+            # bucket can hold a newer row.
+            from .xxh64 import bucket_of
+            kv = eq[self.bucket_col]
+            kvals = (list(kv) if isinstance(kv, (list, tuple, set,
+                                                 frozenset)) else [kv])
+            bs = {bucket_of(x, self.num_buckets) for x in kvals}
+            files = [f for f in files if f.bucket is None or f.bucket in bs]
         if keep_preds:
             def _overlaps(f: DataFile) -> bool:
                 return all(p(f) for p in keep_preds)

@@ -750,3 +750,51 @@ def test_changelog_rollback_emits_deletes_and_validates_range(spark,
     t.expire_snapshots(keep_last=1)
     with pytest.raises(ValueError, match="expired"):
         t.changelog(spark, v2, t.version)
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
+    """A point lookup on the BUCKET key replays the pmod(xxhash64)
+    arithmetic on the driver (lake/xxh64.py) and scans exactly one
+    bucket's files — the hash-index read the reference serves from its
+    transaction_hash/contract_id indexes; min/max stats can never serve
+    a hash-distributed key. The pure-Python hash is parity-pinned
+    against the JVM expression across every tail path, and the lookup
+    stays exact under merge-on-read deltas."""
+    import random
+
+    from stellar_ledger_data_indexer_spark.lake.xxh64 import (
+        bucket_of, spark_xxhash64)
+    random.seed(11)
+    vals = ["".join(random.choice("abcXYZ0189é漢") for _ in range(n))
+            for n in list(range(40)) + [64, 200]]
+    ints = [random.randrange(-2**63, 2**63) for _ in range(20)] + [0, -1]
+    jvm = spark.createDataFrame([(v,) for v in vals], "v string") \
+        .select("v", F.xxhash64("v").alias("h")).collect()
+    assert all(spark_xxhash64(r["v"]) == r["h"] for r in jvm)
+    jvmi = spark.createDataFrame([(v,) for v in ints], "v long") \
+        .select("v", F.xxhash64("v").alias("h")).collect()
+    assert all(spark_xxhash64(r["v"]) == r["h"] for r in jvmi)
+
+    t = LakeTable.create(str(tmp_path / "pt"), SRC_SCHEMA,
+                         bucket_col="doc_id", num_buckets=8)
+    t.append(spark.createDataFrame(
+        [(f"doc{i}", i, "s1", i) for i in range(200)], SRC_SCHEMA))
+    t.append(spark.createDataFrame(
+        [(f"alt{i}", 1000 + i, "s2", i) for i in range(200)], SRC_SCHEMA))
+    key, b = "doc37", bucket_of("doc37", 8)
+    assert b == [r[0] for r in spark.createDataFrame([(key,)], "k string")
+                 .select(t.bucket_expr(F.col("k"))).collect()][0]
+    one = t.read(spark, eq={"doc_id": key})
+    touched = one.inputFiles()
+    assert touched and all(f"_bucket={b}/" in p for p in touched)
+    assert len(touched) < len(t.read(spark).inputFiles())
+    assert [(r["doc_id"], r["seq"]) for r in one.collect()] == [(key, 37)]
+    # newest version arrives via a delta: lookup still exact, still
+    # scans only bucket b
+    d = spark.createDataFrame([(key, 5000, "zeta", 9)], SRC_SCHEMA) \
+        .withColumn(BUCKET_COL, t.bucket_expr())
+    t.append_delta(d, [b])
+    after = t.read(spark, eq={"doc_id": key})
+    assert [(r["doc_id"], r["seq"], r["source"]) for r in after.collect()] \
+        == [(key, 5000, "zeta")]
+    assert all(f"_bucket={b}/" in p for p in after.inputFiles())
