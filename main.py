@@ -220,6 +220,38 @@ def build_parser() -> argparse.ArgumentParser:
                          "consumer-side tail of the table")
     ch.add_argument("--poll-interval", type=float, default=2.0)
     ch.add_argument("--master", default=None)
+    vc = sub.add_parser(
+        "view-create",
+        help="define a materialized view: a persisted GROUP BY aggregate "
+             "of a warehouse table, maintained incrementally from its "
+             "changelog — the analog of the reference's derived indexed "
+             "consumer tables (internal/db/migrations/20260211-add-"
+             "additional-lab-backend-indexes-2.sql)")
+    vc.add_argument("--warehouse", required=True)
+    vc.add_argument("--view", required=True, help="view table name")
+    vc.add_argument("--base", default="documents",
+                    help="base table name within the warehouse")
+    vc.add_argument("--group-by", required=True)
+    vc.add_argument("--agg", action="append", required=True,
+                    metavar="OUT=FN(COL)",
+                    help="repeatable, e.g. n=count(*) tok=sum(n_tok); "
+                         "fn ∈ count|sum|min|max|avg|count_distinct")
+    vc.add_argument("--where", default=None,
+                    help="SQL predicate applied before grouping")
+    vc.add_argument("--num-buckets", type=int, default=16)
+    vc.add_argument("--refresh", action="store_true",
+                    help="run the initial full build immediately")
+    vc.add_argument("--master", default=None)
+    vr = sub.add_parser(
+        "view-refresh",
+        help="advance a materialized view to the base's head: recomputes "
+             "ONLY the groups the changelog touched and rewrites only "
+             "their view buckets; cursor commits atomically with the "
+             "data (crash-safe, idempotent)")
+    vr.add_argument("--warehouse", required=True)
+    vr.add_argument("--view", required=True)
+    vr.add_argument("--max-inlist", type=int, default=8192)
+    vr.add_argument("--master", default=None)
     for verb, hlp in (
             ("compact", "fold merge-on-read deltas / coalesce small files "
                         "per bucket (Spark job; state unchanged)"),
@@ -562,6 +594,46 @@ def cmd_changes(args: argparse.Namespace) -> int:
         spark.stop()
 
 
+def cmd_view(args: argparse.Namespace) -> int:
+    """Materialized-view verbs. view-create persists the definition in
+    the view table's properties (any process can refresh it later);
+    view-refresh is the incremental maintenance step — run it on a
+    cadence after append/stream, or from a cron beside the ingest."""
+    import re
+
+    from stellar_ledger_data_indexer_spark.lake.view import MaterializedView
+    from stellar_ledger_data_indexer_spark.session import get_spark
+
+    path = os.path.join(args.warehouse, args.view)
+    spark = get_spark(app="sldi-view", master=args.master)
+    try:
+        if args.cmd == "view-create":
+            aggs = []
+            for spec in args.agg:
+                m = re.fullmatch(r"(\w+)=(\w+)\((\*|\w+)\)", spec)
+                if not m:
+                    print(f"error: bad --agg {spec!r} (want OUT=FN(COL))",
+                          file=sys.stderr)
+                    return 2
+                aggs.append([m.group(1), m.group(2), m.group(3)])
+            mv = MaterializedView.create(
+                spark, path, os.path.join(args.warehouse, args.base),
+                args.group_by, aggs, where=args.where,
+                num_buckets=args.num_buckets)
+            out = {"status": "created", "view": args.view,
+                   "base": args.base, "group_by": args.group_by,
+                   "aggs": aggs}
+            if args.refresh:
+                out["refresh"] = mv.refresh(spark)
+        else:
+            out = MaterializedView(path).refresh(
+                spark, max_inlist=args.max_inlist)
+        print(json.dumps(out))
+        return 0
+    finally:
+        spark.stop()
+
+
 def cmd_maintenance(args: argparse.Namespace) -> int:
     """compact / expire-snapshots / vacuum / rollback on one warehouse
     table (≙ the reference's post-backfill maintenance migration).
@@ -832,6 +904,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_read(args)
     if args.cmd == "changes":
         return cmd_changes(args)
+    if args.cmd in ("view-create", "view-refresh"):
+        return cmd_view(args)
     if args.cmd in ("compact", "expire-snapshots", "vacuum", "rollback"):
         return cmd_maintenance(args)
     args = resolve_config(args)

@@ -265,6 +265,10 @@ class LakeTable:
         c = col if col is not None else F.col(self.bucket_col)
         return F.pmod(F.xxhash64(c), F.lit(self.num_buckets)).cast("int")
 
+    @property
+    def properties(self) -> dict[str, str]:
+        return dict(self.manifest.get("properties") or {})
+
     def snapshots(self) -> list[int]:
         meta = os.path.join(self.path, META_DIR)
         return sorted(int(n[1:-5]) for n in os.listdir(meta)
@@ -582,7 +586,8 @@ class LakeTable:
     # Commits that never change logical table state: physical layout
     # (compact, fold_rows), schema-only evolution, table creation.
     _NO_DATA_OPS = frozenset({"create", "compact", "fold_rows", "evolve",
-                              "add-column", "rename-column", "drop-column"})
+                              "add-column", "rename-column", "drop-column",
+                              "set-properties"})
 
     def _aligned_state(self, spark: SparkSession, snapshot: int,
                        buckets: Iterable[int] | None,
@@ -844,10 +849,17 @@ class LakeTable:
         return out
 
     def _commit(self, new_files: list[DataFile], drop: set[str],
-                operation: str, summary: dict[str, Any]) -> int:
+                operation: str, summary: dict[str, Any],
+                properties: dict[str, str] | None = None) -> int:
         man = self.manifest
         kept = [d for d in man["files"] if d["path"] not in drop]
         new_man = dict(man)
+        if properties:
+            # updated atomically WITH the data commit (one manifest link)
+            # — e.g. a materialized view's refresh cursor must never be
+            # observable without the data it accounts for, and vice versa
+            new_man["properties"] = {**(man.get("properties") or {}),
+                                     **properties}
         new_man["version"] = man["version"] + 1
         new_man["parent"] = man["version"]
         new_man["operation"] = operation
@@ -984,7 +996,8 @@ class LakeTable:
         return cols + [BUCKET_COL] if partitioned else cols
 
     def overwrite_buckets(self, df: DataFrame, buckets: Iterable[int],
-                          summary: dict[str, Any] | None = None) -> int:
+                          summary: dict[str, Any] | None = None,
+                          properties: dict[str, str] | None = None) -> int:
         """Copy-on-write replace of a set of buckets — the commit half of
         MERGE. ``df`` must already be the complete new content of exactly
         those buckets and carry a ``_bucket`` column. Drops every prior
@@ -995,7 +1008,7 @@ class LakeTable:
         bad = [f for f in files if f.bucket not in bset]
         if bad:
             raise ValueError(f"rows outside declared buckets: {bad[:3]}")
-        return self._commit(files, drop, "merge", summary or {})
+        return self._commit(files, drop, "merge", summary or {}, properties)
 
     def append_delta(self, df: DataFrame, buckets: Iterable[int],
                      summary: dict[str, Any] | None = None) -> int:
@@ -1028,14 +1041,25 @@ class LakeTable:
         return max((len(v) for v in per_bucket.values()), default=0)
 
     def overwrite_all(self, df: DataFrame,
-                      summary: dict[str, Any] | None = None) -> int:
+                      summary: dict[str, Any] | None = None,
+                      properties: dict[str, str] | None = None) -> int:
         partitioned = self.num_buckets > 0
         if partitioned:
             df = df.withColumn(BUCKET_COL, self.bucket_expr())
         drop = {f.path for f in self.files}
         files = self._write_data(df.select(*self._write_cols(partitioned)),
                                  partitioned)
-        return self._commit(files, drop, "overwrite", summary or {})
+        return self._commit(files, drop, "overwrite", summary or {},
+                            properties)
+
+    def set_properties(self, properties: dict[str, str],
+                       summary: dict[str, Any] | None = None) -> int:
+        """Data-less commit that updates table properties (merge
+        semantics) — e.g. advancing a materialized view's refresh cursor
+        when a changelog range nets to zero changes. The operation is in
+        _NO_DATA_OPS, so changelog readers skip it."""
+        return self._commit([], set(), "set-properties", summary or {},
+                            properties)
 
     # ----------------------------------------------------- schema evolution
     def alter_add_column(self, name: str, data_type: T.DataType,

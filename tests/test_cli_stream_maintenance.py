@@ -663,3 +663,54 @@ def test_cli_changes_follow_tails_new_commits(spark, tmp_path):
                 for k, r in d.items()}
     final = {r["doc_id"]: r for r in t.read(spark).collect()}
     assert norm(state) == norm(final)
+
+
+def test_cli_view_create_and_incremental_refresh(spark, tmp_path):
+    """The full consumer loop from the CLI: replay half the stream,
+    define a per-source aggregate view (initial full build), replay the
+    rest, view-refresh — the refresh must be INCREMENTAL (changelog-
+    driven, touched buckets only) and land exactly the state a
+    from-scratch GROUP BY over the final table computes."""
+    from pyspark.sql import functions as F
+
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+    from stellar_ledger_data_indexer_spark.sources.change_stream import (
+        StreamSpec, write_change_events)
+    events = str(tmp_path / "events")
+    wh = str(tmp_path / "wh")
+    write_change_events(spark, events, StreamSpec(n_events=6000, n_docs=150),
+                        partitions=4)
+    r1 = _run(["append", "--events-path", events, "--warehouse", wh,
+               "--start", "2", "--end", "120", "--epoch-size", "60",
+               "--num-buckets", "8", "--master", "local[4]"])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = _run(["view-create", "--warehouse", wh, "--view", "by_source",
+               "--group-by", "source", "--agg", "n_docs=count(*)",
+               "--agg", "tok=sum(n_tok)", "--agg", "max_seq=max(seq)",
+               "--num-buckets", "4", "--refresh", "--master", "local[4]"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    created = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert created["refresh"]["mode"] == "full"
+    r3 = _run(["append", "--events-path", events, "--warehouse", wh,
+               "--start", "2", "--end", "0", "--epoch-size", "60",
+               "--num-buckets", "8", "--master", "local[4]"])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    r4 = _run(["view-refresh", "--warehouse", wh, "--view", "by_source",
+               "--master", "local[4]"])
+    assert r4.returncode == 0, r4.stderr[-2000:]
+    ref = json.loads(r4.stdout.strip().splitlines()[-1])
+    assert ref["refreshed"] and ref["mode"] == "incremental"
+    t = LakeTable(os.path.join(wh, "documents"))
+    exp = {r["source"]: (r["n"], r["tok"], r["mx"]) for r in
+           t.read(spark).groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("tok"),
+                F.max("seq").alias("mx")).collect()}
+    v = LakeTable(os.path.join(wh, "by_source"))
+    got = {r["source"]: (r["n_docs"], r["tok"], r["max_seq"])
+           for r in v.read(spark).collect()}
+    assert got == exp
+    # a second refresh with no new base commits is a pure no-commit poll
+    r5 = _run(["view-refresh", "--warehouse", wh, "--view", "by_source",
+               "--master", "local[4]"])
+    assert r5.returncode == 0
+    assert not json.loads(r5.stdout.strip().splitlines()[-1])["refreshed"]

@@ -1,0 +1,190 @@
+"""Materialized-view maintenance tests: full build, incremental parity
+against a from-scratch recompute under updates / group moves / group
+disappearance, touched-bucket-only rewrites, noop cursor advances,
+crash atomicity (cursor and data share one commit), and the
+semi-join fallback path past the driver in-list cap."""
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stellar_ledger_data_indexer_spark.lake.table import (
+    BUCKET_COL, LakeTable)
+from stellar_ledger_data_indexer_spark.lake.view import MaterializedView
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("seq", T.LongType(), False),
+    T.StructField("source", T.StringType(), True),
+    T.StructField("n_tok", T.LongType(), True),
+])
+
+AGGS = [["n_docs", "count", "*"], ["tok", "sum", "n_tok"],
+        ["max_seq", "max", "seq"], ["uniq_tok", "count_distinct", "n_tok"]]
+
+
+def mk_base(spark, path, n=60, num_buckets=8):
+    t = LakeTable.create(str(path), SCHEMA, bucket_col="doc_id",
+                         num_buckets=num_buckets)
+    rows = [(f"doc{i}", i, f"s{i % 5}", 10 + i % 7) for i in range(n)]
+    t.append(spark.createDataFrame(rows, SCHEMA))
+    return t
+
+
+def apply_delta(spark, t, rows):
+    """The ingest path: fully-resolved replacement rows, merge-on-read."""
+    df = spark.createDataFrame(rows, SCHEMA).withColumn(
+        BUCKET_COL, t.bucket_expr())
+    buckets = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
+    t.append_delta(df, buckets)
+
+
+def expect(spark, t, where=None):
+    df = t.read(spark)
+    if where:
+        df = df.filter(where)
+    rows = (df.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("tok"),
+                 F.max("seq").alias("max_seq"),
+                 F.count_distinct("n_tok").alias("uniq_tok"))
+            .collect())
+    return {r["source"]: (r["n_docs"], r["tok"], r["max_seq"],
+                          r["uniq_tok"]) for r in rows}
+
+
+def got(spark, mv):
+    return {r["source"]: (r["n_docs"], r["tok"], r["max_seq"],
+                          r["uniq_tok"])
+            for r in mv.table.refresh().read(spark).collect()}
+
+
+def test_view_full_build_then_incremental_parity(spark, tmp_path):
+    t = mk_base(spark, tmp_path / "base")
+    mv = MaterializedView.create(
+        spark, str(tmp_path / "mv"), str(tmp_path / "base"),
+        "source", AGGS, num_buckets=4)
+    r = mv.refresh(spark)
+    assert r["mode"] == "full" and r["refreshed"]
+    assert got(spark, mv) == expect(spark, t)
+
+    # batch 1: value updates + one group MOVE (doc3 s3 → s0) — the
+    # pre-image group s3 must shrink even though no post-image row
+    # mentions it
+    apply_delta(spark, t, [("doc3", 100, "s0", 99),
+                           ("doc7", 101, "s2", 50)])
+    r = mv.refresh(spark)
+    assert r["mode"] == "incremental"
+    # only the touched view buckets were rewritten
+    assert r["view_buckets"] < mv.table.num_buckets or r["groups"] >= 3
+    assert got(spark, mv) == expect(spark, t)
+
+    # batch 2: a whole group disappears (every s4 doc moves to s1) —
+    # its view row must vanish, not linger at stale counts
+    s4_docs = [r["doc_id"] for r in t.read(spark)
+               .filter(F.col("source") == "s4").collect()]
+    apply_delta(spark, t, [(d, 200 + i, "s1", 7)
+                           for i, d in enumerate(s4_docs)])
+    assert mv.refresh(spark)["mode"] == "incremental"
+    exp = expect(spark, t)
+    assert "s4" not in exp
+    assert got(spark, mv) == exp
+
+    # batch 3: refresh across SEVERAL base commits at once
+    apply_delta(spark, t, [("doc1", 300, "s1", 1)])
+    apply_delta(spark, t, [("doc2", 301, "s2", 2)])
+    t.compact(spark)     # no-data op interleaved in the range
+    apply_delta(spark, t, [("newdoc", 302, "s9", 3)])   # brand-new group
+    assert mv.refresh(spark)["mode"] == "incremental"
+    assert got(spark, mv) == expect(spark, t)
+
+
+def test_view_where_clause_and_noop_and_current(spark, tmp_path):
+    t = mk_base(spark, tmp_path / "base")
+    mv = MaterializedView.create(
+        spark, str(tmp_path / "mv"), str(tmp_path / "base"),
+        "source", AGGS, where="n_tok >= 12", num_buckets=4)
+    mv.refresh(spark)
+    assert got(spark, mv) == expect(spark, t, "n_tok >= 12")
+    # already at head → no commit at all
+    v = mv.table.refresh().version
+    r = mv.refresh(spark)
+    assert not r["refreshed"] and r["mode"] == "current"
+    assert mv.table.refresh().version == v
+    # replaying IDENTICAL rows nets to zero changes → cursor-only commit
+    rows = [tuple(r) for r in t.read(spark).limit(3).collect()]
+    apply_delta(spark, t, rows)
+    r = mv.refresh(spark)
+    assert r["mode"] == "noop"
+    assert got(spark, mv) == expect(spark, t, "n_tok >= 12")
+    # a doc dropping BELOW the where threshold leaves its group's row
+    # recomputed without it
+    vic = t.read(spark).filter("n_tok >= 12").limit(1).collect()[0]
+    apply_delta(spark, t, [(vic["doc_id"], 400, vic["source"], 1)])
+    assert mv.refresh(spark)["mode"] == "incremental"
+    assert got(spark, mv) == expect(spark, t, "n_tok >= 12")
+
+
+def test_view_crash_before_commit_is_invisible(spark, tmp_path,
+                                               monkeypatch):
+    """A refresh that dies after planning/writing but BEFORE the manifest
+    link leaves the view exactly as it was (state AND cursor — they
+    travel in one commit); the retry converges."""
+    t = mk_base(spark, tmp_path / "base")
+    mv = MaterializedView.create(
+        spark, str(tmp_path / "mv"), str(tmp_path / "base"),
+        "source", AGGS, num_buckets=4)
+    mv.refresh(spark)
+    before = got(spark, mv)
+    head_at_build = t.refresh().version
+    apply_delta(spark, t, [("doc5", 500, "s1", 42)])
+
+    real = LakeTable._commit
+
+    def boom(self, *a, **k):
+        raise RuntimeError("crash before manifest link")
+    monkeypatch.setattr(LakeTable, "_commit", boom)
+    with pytest.raises(RuntimeError, match="crash"):
+        mv.refresh(spark)
+    monkeypatch.setattr(LakeTable, "_commit", real)
+    assert got(spark, mv) == before            # nothing visible
+    assert mv.table.refresh().properties["mv_cursor"] == str(head_at_build)
+    r = mv.refresh(spark)                      # retry converges
+    assert r["refreshed"] and r["mode"] == "incremental"
+    assert got(spark, mv) == expect(spark, t)
+
+
+def test_view_semi_join_fallback_parity(spark, tmp_path):
+    """max_inlist=1 forces the distributed path (semi-join recompute,
+    anti-join keep-set, bucket sets collected from DataFrames) on data
+    small enough to check by hand — identical result to the point path."""
+    t = mk_base(spark, tmp_path / "base")
+    mv = MaterializedView.create(
+        spark, str(tmp_path / "mv"), str(tmp_path / "base"),
+        "source", AGGS, num_buckets=4)
+    mv.refresh(spark)
+    apply_delta(spark, t, [("doc3", 100, "s0", 99),
+                           ("doc8", 101, "s9", 1),
+                           ("doc11", 102, "s1", 3)])
+    r = mv.refresh(spark, max_inlist=1)
+    assert r["mode"] == "incremental" and r["groups"] is None
+    assert got(spark, mv) == expect(spark, t)
+
+
+def test_view_rejects_bad_definitions(spark, tmp_path):
+    t = mk_base(spark, tmp_path / "base")
+    with pytest.raises(ValueError, match="not in base"):
+        MaterializedView.create(spark, str(tmp_path / "mv1"),
+                                str(tmp_path / "base"), "nope", AGGS)
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        MaterializedView.create(spark, str(tmp_path / "mv2"),
+                                str(tmp_path / "base"), "source",
+                                [["x", "median", "n_tok"]])
+    LakeTable.create(str(tmp_path / "flat"), SCHEMA)
+    with pytest.raises(ValueError, match="bucketed base"):
+        MaterializedView.create(spark, str(tmp_path / "mv3"),
+                                str(tmp_path / "flat"), "source", AGGS)
+    with pytest.raises(ValueError, match="not a materialized view"):
+        MaterializedView(str(tmp_path / "base"))
+    assert t.version >= 2
