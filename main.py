@@ -44,6 +44,10 @@ LAYERED = {
     "expire_every": (int, 32),
     "expire_keep_last": (int, 16),
     "datasets": (str, "tokens,ttl"),
+    # materialized views refreshed inside the ingest loop (names of
+    # view-create'd tables in the warehouse, comma-separated; empty = none)
+    "views": (str, ""),
+    "view_refresh_every": (int, 1),
     "master": (str, None),
     # ≙ the reference's --metrics-port admin server (cmd/root.go flags +
     # internal/main.go:94-116); None disables, 0 binds an ephemeral port
@@ -92,6 +96,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "the registry (default tokens,ttl; add "
                          "doc_events for the contract-events-analog "
                          "table)")
+    ap.add_argument("--views", default=None,
+                    help="comma-separated materialized views (created via "
+                         "view-create) refreshed inside the ingest loop "
+                         "after each epoch's commit")
+    ap.add_argument("--view-refresh-every", type=int, default=None,
+                    help="epochs between in-loop view refreshes "
+                         "(default 1)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--metrics-port", type=int, default=None,
                     help="serve live gauges over HTTP on this port while "
@@ -141,6 +152,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "sweeps (default 32; 0 disables)")
     sp.add_argument("--expire-keep-last", type=int, default=None)
     sp.add_argument("--datasets", default=None)
+    sp.add_argument("--views", default=None,
+                    help="materialized views refreshed per micro-batch "
+                         "(comma-separated view-create'd tables)")
+    sp.add_argument("--view-refresh-every", type=int, default=None)
     sp.add_argument("--master", default=None)
     sp.add_argument("--metrics-port", type=int, default=None)
     sp.add_argument("--metrics-bind", default=None)
@@ -765,7 +780,10 @@ def _job_config(args) -> "JobConfig":  # noqa: F821 (resolved below)
         expire_every=args.expire_every,
         expire_keep_last=args.expire_keep_last,
         datasets=tuple(s.strip() for s in args.datasets.split(",")
-                       if s.strip()))
+                       if s.strip()),
+        views=tuple(s.strip() for s in (args.views or "").split(",")
+                    if s.strip()),
+        view_refresh_every=args.view_refresh_every)
 
 
 def cmd_append(args: argparse.Namespace) -> int:
@@ -862,7 +880,9 @@ def cmd_stream(args: argparse.Namespace) -> int:
             expire_every=args.expire_every,
             expire_keep_last=args.expire_keep_last,
             follow=(f"{args.poll_interval} seconds" if follow else None),
-            gauges_path=os.path.join(args.warehouse, "_gauges.json"))
+            gauges_path=os.path.join(args.warehouse, "_gauges.json"),
+            views=job.views,
+            view_refresh_every=args.view_refresh_every)
         rc = 0
         if follow:
             # run-forever tail: poll-loop awaitTermination so the SIGINT

@@ -72,6 +72,15 @@ class JobConfig:
     # ordered processor list, internal/main.go:127-144); add "doc_events"
     # to wire the contract-events-analog third dataset
     datasets: tuple[str, ...] = ("tokens", "ttl")
+    # materialized views (lake/view.py) refreshed inside the ingest loop
+    # so consumers read fresh aggregates without their own scheduler —
+    # the reference's derived indexed tables advance with ingest the same
+    # way. Names are view tables in the warehouse, created beforehand
+    # via `view-create`. Refresh runs AFTER the epoch's commit marker
+    # (O(changed groups); a crash between marker and refresh is healed
+    # by the view's own cursor on the next epoch or manual view-refresh).
+    views: tuple[str, ...] = ()
+    view_refresh_every: int = 1     # epochs between view refreshes
 
 
 def apply_change_batch(spark: SparkSession, target: LakeTable, events,
@@ -166,6 +175,9 @@ class IngestJob:
         self.checkpoints = CheckpointLog(os.path.join(wh, "_checkpoints"))
         self.lineage = LineageLog(os.path.join(wh, "_lineage"))
         self.metrics = MetricsLog(os.path.join(wh, "_metrics"))
+        from .lake.view import MaterializedView
+        self.views = [MaterializedView(os.path.join(wh, name))
+                      for name in cfg.views]
 
     # ------------------------------------------------- shuffle right-sizing
     # Target ON-DISK bytes per shuffle partition. Shuffle partition count
@@ -389,6 +401,14 @@ class IngestJob:
             for tbl in (self.target, *self.extra_tables.values()):
                 if tbl.delta_depth() >= self.cfg.compact_every:
                     tbl.compact(self.spark)
+        # registered materialized views advance with ingest (their own
+        # cursor makes this idempotent; refresh cost is O(groups this
+        # epoch touched), so the per-epoch overhead tracks epoch size,
+        # not table size)
+        if self.views and self.cfg.view_refresh_every > 0 \
+                and self._epochs_done % self.cfg.view_refresh_every == 0:
+            for mv in self.views:
+                mv.refresh(self.spark)
         # snapshot + orphan hygiene on its own cadence: expiry bounds the
         # _meta dir (manifest-per-commit otherwise grows without limit and
         # every refresh lists it) and releases data files only dropped
@@ -397,7 +417,8 @@ class IngestJob:
         # the checkpoint table, never old target snapshots.
         if (self.cfg.expire_every > 0
                 and self._epochs_done % self.cfg.expire_every == 0):
-            for tbl in (self.target, *self.extra_tables.values()):
+            for tbl in (self.target, *self.extra_tables.values(),
+                        *(mv.table for mv in self.views)):
                 tbl.expire_snapshots(keep_last=self.cfg.expire_keep_last)
                 tbl.remove_orphans(self.cfg.orphan_age_secs)
         # control-table hygiene: fold per-epoch one-file appends once they

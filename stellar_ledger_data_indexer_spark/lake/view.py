@@ -156,7 +156,21 @@ class MaterializedView:
                     "view_snapshot": v}
 
         key = base.bucket_col
-        net = base.changelog(spark, cursor, head, mode="net")
+        try:
+            net = base.changelog(spark, cursor, head, mode="net")
+        except ValueError as e:
+            if "expired" not in str(e):
+                raise
+            # the cursor fell behind the base's retained history (the
+            # view wasn't refreshed within its expire window) — the
+            # incremental path is gone, so rebuild from current state;
+            # correctness is unaffected, only this refresh pays a scan
+            full = self._aggregate(base.read(spark), group, aggs, where)
+            v = t.overwrite_all(full, summary={"mv_refresh": "rebuild",
+                                               "mv_reason": "expired"},
+                                properties={"mv_cursor": str(head)})
+            return {**out, "refreshed": True, "mode": "rebuild",
+                    "view_snapshot": v}
         keys = [r[0] for r in
                 net.select(key).distinct().limit(max_inlist + 1).collect()]
         if not keys:

@@ -51,7 +51,9 @@ def stream_replay(spark: SparkSession, events_path: str, target: LakeTable,
                   expire_keep_last: int = 16,
                   orphan_age_secs: float = 3600.0,
                   follow: str | None = None,
-                  gauges_path: str | None = None):
+                  gauges_path: str | None = None,
+                  views: list | None = None,
+                  view_refresh_every: int = 1):
     """Start a streaming replay into ``target``. Returns the
     StreamingQuery; callers drive it with processAllAvailable()/stop()
     (tests) or awaitTermination() (production tail).
@@ -125,13 +127,21 @@ def stream_replay(spark: SparkSession, events_path: str, target: LakeTable,
                 if tbl.delta_depth() >= compact_every:
                     tbl.compact(batch_df.sparkSession)
         totals["all_batches"] += 1
+        # registered materialized views track the tail (same contract as
+        # the batch loop: refresh AFTER this micro-batch's merges, each
+        # view's own cursor makes replays/no-ops idempotent)
+        if views and view_refresh_every > 0 \
+                and totals["all_batches"] % view_refresh_every == 0:
+            for mv in views:
+                mv.refresh(batch_df.sparkSession)
         if expire_every > 0 and totals["all_batches"] % expire_every == 0:
             # same cadence rule as IngestJob.apply_epoch: bound the
             # manifest count and release compaction-superseded files.
             # Runs after the merges of THIS micro-batch landed; a
             # replayed batch after a crash only re-runs LWW no-ops, so
             # expiring history here never loses resumable state.
-            for tbl in (target, *(t for _s, t in (extra_datasets or []))):
+            for tbl in (target, *(t for _s, t in (extra_datasets or [])),
+                        *(mv.table for mv in (views or []))):
                 tbl.expire_snapshots(keep_last=expire_keep_last)
                 tbl.remove_orphans(orphan_age_secs)
         if gauges_path:

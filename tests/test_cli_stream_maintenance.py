@@ -714,3 +714,77 @@ def test_cli_view_create_and_incremental_refresh(spark, tmp_path):
                "--master", "local[4]"])
     assert r5.returncode == 0
     assert not json.loads(r5.stdout.strip().splitlines()[-1])["refreshed"]
+
+
+def test_cli_append_refreshes_views_in_loop(spark, tmp_path):
+    """`append --views` keeps a materialized view current as ingest
+    advances — after the run the view equals a from-scratch GROUP BY
+    and its cursor sits at the base's head (no trailing manual
+    refresh needed), the reference's derived-tables-advance-with-
+    ingest behavior."""
+    from pyspark.sql import functions as F
+
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+    from stellar_ledger_data_indexer_spark.sources.change_stream import (
+        StreamSpec, write_change_events)
+    events = str(tmp_path / "events")
+    wh = str(tmp_path / "wh")
+    write_change_events(spark, events, StreamSpec(n_events=4000, n_docs=120),
+                        partitions=4)
+    r1 = _run(["append", "--events-path", events, "--warehouse", wh,
+               "--start", "2", "--end", "80", "--epoch-size", "40",
+               "--num-buckets", "8", "--master", "local[4]"])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = _run(["view-create", "--warehouse", wh, "--view", "by_source",
+               "--group-by", "source", "--agg", "n=count(*)",
+               "--agg", "tok=sum(n_tok)", "--num-buckets", "4",
+               "--master", "local[4]"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    r3 = _run(["append", "--events-path", events, "--warehouse", wh,
+               "--start", "2", "--end", "0", "--epoch-size", "40",
+               "--num-buckets", "8", "--views", "by_source",
+               "--master", "local[4]"])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    t = LakeTable(os.path.join(wh, "documents"))
+    v = LakeTable(os.path.join(wh, "by_source"))
+    assert v.properties["mv_cursor"] == str(t.version)
+    exp = {r["source"]: (r["n"], r["tok"]) for r in
+           t.read(spark).groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("n_tok").alias("tok")).collect()}
+    got = {r["source"]: (r["n"], r["tok"])
+           for r in v.read(spark).collect()}
+    assert got == exp
+
+
+def test_cli_stream_refreshes_views_per_microbatch(spark, tmp_path):
+    """`stream --views` (availableNow catch-up) refreshes the view from
+    the sink — after the query drains the view matches a from-scratch
+    GROUP BY and its cursor is at the base head."""
+    from pyspark.sql import functions as F
+
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+    from stellar_ledger_data_indexer_spark.sources.change_stream import (
+        StreamSpec, write_change_events)
+    events = str(tmp_path / "events")
+    wh = str(tmp_path / "wh")
+    write_change_events(spark, events, StreamSpec(n_events=3000, n_docs=100),
+                        partitions=3)
+    r1 = _run(["append", "--events-path", events, "--warehouse", wh,
+               "--start", "2", "--end", "50", "--epoch-size", "50",
+               "--num-buckets", "8", "--master", "local[4]"])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = _run(["view-create", "--warehouse", wh, "--view", "by_source",
+               "--group-by", "source", "--agg", "n=count(*)",
+               "--num-buckets", "4", "--refresh", "--master", "local[4]"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    r3 = _run(["stream", "--events-path", events, "--warehouse", wh,
+               "--num-buckets", "8", "--views", "by_source",
+               "--master", "local[4]"])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    t = LakeTable(os.path.join(wh, "documents"))
+    v = LakeTable(os.path.join(wh, "by_source"))
+    assert v.properties["mv_cursor"] == str(t.version)
+    exp = {r["source"]: r["n"] for r in t.read(spark).groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {r["source"]: r["n"] for r in v.read(spark).collect()} == exp

@@ -188,3 +188,26 @@ def test_view_rejects_bad_definitions(spark, tmp_path):
     with pytest.raises(ValueError, match="not a materialized view"):
         MaterializedView(str(tmp_path / "base"))
     assert t.version >= 2
+
+
+def test_view_rebuild_when_cursor_history_expired(spark, tmp_path):
+    """A view left unrefreshed past the base's snapshot-expiry window
+    loses its incremental path (the changelog needs the contiguous
+    manifest chain) — refresh must fall back to a full rebuild, not
+    raise, and land the exact current aggregate."""
+    t = mk_base(spark, tmp_path / "base")
+    mv = MaterializedView.create(
+        spark, str(tmp_path / "mv"), str(tmp_path / "base"),
+        "source", AGGS, num_buckets=4)
+    mv.refresh(spark)
+    for i in range(3):
+        apply_delta(spark, t, [(f"doc{i}", 900 + i, "s1", 5)])
+    t.expire_snapshots(keep_last=1)
+    r = mv.refresh(spark)
+    assert r["mode"] == "rebuild" and r["refreshed"]
+    assert got(spark, mv) == expect(spark, t)
+    # and the cursor is usable again afterwards: next change refreshes
+    # incrementally
+    apply_delta(spark, t, [("doc9", 950, "s2", 6)])
+    assert mv.refresh(spark)["mode"] == "incremental"
+    assert got(spark, mv) == expect(spark, t)
