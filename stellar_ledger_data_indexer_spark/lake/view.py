@@ -16,12 +16,17 @@ Refresh algorithm (general — handles deletes, group moves, and
 non-distributive aggregates like min/max/count_distinct, which
 delta-additive maintenance cannot):
 
-1. ``net = base.changelog(cursor, head, mode="net")`` — O(changed rows).
-2. Changed keys → touched GROUPS = pre-image groups (point-read of the
-   changed keys at the *cursor* snapshot — bucket-pruned by the
-   driver-side hash arithmetic in lake/xxh64.py) ∪ post-image groups
-   (same point-read at head). Both sides are needed: a row moving from
-   group A to B must decrement A and increment B.
+1. ``base.changelog(cursor, head, mode="raw")`` — reads ONLY the files
+   the commits in range introduced (O(changed rows), no state join;
+   raw over net is deliberate — net joins against the from-state of
+   every touched bucket, ≈ the whole table for any non-trivial epoch).
+2. Changed keys + their post-image groups come straight off the raw
+   rows; pre-image groups from a point-read of the changed keys at the
+   *cursor* snapshot (bucket-pruned by the driver-side hash arithmetic
+   in lake/xxh64.py). Both sides are needed: a row moving from group A
+   to B must decrement A and increment B. Raw may include groups whose
+   net change is nil (transient hops, LWW no-op replays) — they
+   recompute to their existing values, exact and bounded.
 3. Recompute the aggregate ONLY for touched groups against the current
    base (``eq={group: [...]}`` stats-pruned read, or a semi-join when
    the touched set exceeds the driver in-list cap).
@@ -148,16 +153,33 @@ class MaterializedView:
         out = {"from_snapshot": cursor, "to_snapshot": head}
         if cursor >= head:
             return {**out, "refreshed": False, "mode": "current"}
-        if cursor == 0:  # initial build — the only full scan of the base
+
+        def rebuild(mode: str, reason: str | None = None):
             full = self._aggregate(base.read(spark), group, aggs, where)
-            v = t.overwrite_all(full, summary={"mv_refresh": "full"},
-                                properties={"mv_cursor": str(head)})
-            return {**out, "refreshed": True, "mode": "full",
+            v = t.overwrite_all(
+                full, summary={"mv_refresh": mode,
+                               **({"mv_reason": reason} if reason else {})},
+                properties={"mv_cursor": str(head)})
+            return {**out, "refreshed": True, "mode": mode,
+                    **({"reason": reason} if reason else {}),
                     "view_snapshot": v}
 
+        if cursor == 0:  # initial build — the expected full scan
+            return rebuild("full")
         key = base.bucket_col
         try:
-            net = base.changelog(spark, cursor, head, mode="net")
+            # RAW mode on purpose: raw changes from append/merge-delta
+            # commits read ONLY the files those commits introduced —
+            # O(changed rows) with no state join — while net mode joins
+            # the newest changes against the from-state of every touched
+            # bucket (≈ the whole table once a batch touches all
+            # buckets, which any non-trivial epoch does). Raw's keys and
+            # post-image groups are a SUPERSET of net's (transient
+            # groups a key passed through, LWW no-op replays), and
+            # recomputing a group that didn't actually change is exact —
+            # just redundant — so the refresh stays correct and the
+            # per-epoch cost stays proportional to the epoch.
+            chg = base.changelog(spark, cursor, head, mode="raw")
         except ValueError as e:
             if "expired" not in str(e):
                 raise
@@ -165,52 +187,81 @@ class MaterializedView:
             # view wasn't refreshed within its expire window) — the
             # incremental path is gone, so rebuild from current state;
             # correctness is unaffected, only this refresh pays a scan
-            full = self._aggregate(base.read(spark), group, aggs, where)
-            v = t.overwrite_all(full, summary={"mv_refresh": "rebuild",
-                                               "mv_reason": "expired"},
-                                properties={"mv_cursor": str(head)})
-            return {**out, "refreshed": True, "mode": "rebuild",
-                    "view_snapshot": v}
-        keys = [r[0] for r in
-                net.select(key).distinct().limit(max_inlist + 1).collect()]
-        if not keys:
+            return rebuild("rebuild", "expired")
+        # one pass over the raw changes collects changed keys AND their
+        # post-image groups together (upsert rows ARE post-image rows; a
+        # delete's non-key columns are null, so its post group drops out
+        # here and its pre group is picked up below)
+        pairs = chg.select(key, F.col(group).alias("_g")).distinct() \
+            .limit(max_inlist + 1).collect()
+        if not pairs:   # only no-data commits in the range
             v = t.set_properties({"mv_cursor": str(head)},
                                  summary={"mv_refresh": "noop"})
             return {**out, "refreshed": True, "mode": "noop",
                     "view_snapshot": v}
-        if len(keys) <= max_inlist:
-            # bucket-pruned point reads of just the changed keys, at
-            # head (post-image groups) and at the cursor snapshot
-            # (pre-image groups)
-            post_g = base.read(spark, eq={key: keys}).select(group)
-            pre_g = base.read(spark, snapshot=cursor,
-                              eq={key: keys}).select(group)
+        keys = sorted({r[0] for r in pairs})
+        # wide-delta auto-select: when the touched set approaches the
+        # whole view (live view rows are free from manifest stats — the
+        # view is CoW-only), the targeted path's joins and point reads
+        # cost more than the one clean scan they avoid. Post-image
+        # groups alone are a sound EARLY trigger (they're a subset of
+        # the touched set), so a wide delta rebuilds before paying for
+        # the pre-image read. The ≥64 floor keeps trivially small views
+        # on the targeted path, where either choice is sub-second.
+        total = sum(f.rows for f in t.files)
+
+        def wide(n_touched: int) -> bool:
+            return total >= 64 and n_touched >= 0.5 * total
+
+        n_groups: int | None = None
+        if len(pairs) <= max_inlist:     # the pair list is complete
+            post_gs = {r["_g"] for r in pairs if r["_g"] is not None}
+            if wide(len(post_gs)):
+                return rebuild("rebuild", "wide-delta")
+            # pre-image groups: bucket-pruned point read of the changed
+            # keys at the CURSOR snapshot (lake/xxh64.py arithmetic —
+            # no stats needed for a hash-distributed key); needed
+            # because a row moving from group A to B must shrink A even
+            # though no post-image row mentions A
+            pre = base.read(spark, snapshot=cursor, eq={key: keys}) \
+                .select(group).distinct().collect()
+            groups = sorted(post_gs
+                            | {r[0] for r in pre if r[0] is not None})
+            if not groups:  # every changed row had a null group
+                v = t.set_properties({"mv_cursor": str(head)},
+                                     summary={"mv_refresh": "noop"})
+                return {**out, "refreshed": True, "mode": "noop",
+                        "view_snapshot": v}
+            if wide(len(groups)):
+                return rebuild("rebuild", "wide-delta")
+            n_groups = len(groups)
+            # recompute reads prune files via the harvested min/max
+            # stats for the group column (write_order/stats_columns)
+            current = base.read(spark, eq={group: groups})
+            vb = sorted({bucket_of(g, t.num_buckets) for g in groups})
+            old = (t.read(spark, buckets=vb)
+                   .filter(~F.col(group).isin(groups)))
         else:
-            keys_df = net.select(key).distinct()
+            # past the driver cap: same algorithm with distributed
+            # joins; the raw changes are reused three times, so persist
+            chg = chg.persist()
+            if wide(chg.select(group).filter(F.col(group).isNotNull())
+                    .distinct().count()):        # early: post-only
+                chg.unpersist()
+                return rebuild("rebuild", "wide-delta")
+            keys_df = chg.select(key).distinct()
             bsel = sorted(r[0] for r in keys_df.select(
                 base.bucket_expr(F.col(key)).alias("b")).distinct()
                 .collect())
-            post_g = (base.read(spark, buckets=bsel)
-                      .join(keys_df, key, "left_semi").select(group))
             pre_g = (base.read(spark, snapshot=cursor, buckets=bsel)
                      .join(keys_df, key, "left_semi").select(group))
-        groups_df = (post_g.union(pre_g)
-                     .filter(F.col(group).isNotNull()).distinct())
-        glist = [r[0] for r in groups_df.limit(max_inlist + 1).collect()]
-        if not glist:  # every changed row had a null group — no-op view
-            v = t.set_properties({"mv_cursor": str(head)},
-                                 summary={"mv_refresh": "noop"})
-            return {**out, "refreshed": True, "mode": "noop",
-                    "view_snapshot": v}
-        n_groups: int | None = len(glist)
-        if len(glist) <= max_inlist:
-            current = base.read(spark, eq={group: glist})
-            vb = sorted({bucket_of(g, t.num_buckets) for g in glist})
-            old = (t.read(spark, buckets=vb)
-                   .filter(~F.col(group).isin(glist)))
-        else:
-            n_groups = None  # uncollected (past the driver cap)
-            groups_df = groups_df.persist()
+            groups_df = (chg.select(group).union(pre_g)
+                         .filter(F.col(group).isNotNull()).distinct()
+                         .persist())
+            if wide(groups_df.count()):
+                groups_df.unpersist()
+                chg.unpersist()
+                return rebuild("rebuild", "wide-delta")
             current = base.read(spark).join(groups_df, group, "left_semi")
             vb = sorted(r[0] for r in groups_df.select(
                 t.bucket_expr(F.col(group)).alias("b")).distinct()
@@ -231,6 +282,7 @@ class MaterializedView:
         finally:
             if n_groups is None:
                 groups_df.unpersist()
+                chg.unpersist()
         return {**out, "refreshed": True, "mode": "incremental",
                 "groups": n_groups, "view_buckets": len(vb),
                 "view_snapshot": v}

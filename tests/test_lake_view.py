@@ -112,12 +112,16 @@ def test_view_where_clause_and_noop_and_current(spark, tmp_path):
     r = mv.refresh(spark)
     assert not r["refreshed"] and r["mode"] == "current"
     assert mv.table.refresh().version == v
-    # replaying IDENTICAL rows nets to zero changes → cursor-only commit
+    # replaying IDENTICAL rows (the crash-resume shape): raw changelog
+    # surfaces them, their groups recompute to the same values — exact
     rows = [tuple(r) for r in t.read(spark).limit(3).collect()]
     apply_delta(spark, t, rows)
     r = mv.refresh(spark)
-    assert r["mode"] == "noop"
+    assert r["mode"] == "incremental"
     assert got(spark, mv) == expect(spark, t, "n_tok >= 12")
+    # a range holding only no-data commits is a cursor-only advance
+    t.compact(spark)
+    assert mv.refresh(spark)["mode"] == "noop"
     # a doc dropping BELOW the where threshold leaves its group's row
     # recomputed without it
     vic = t.read(spark).filter("n_tok >= 12").limit(1).collect()[0]
@@ -209,5 +213,30 @@ def test_view_rebuild_when_cursor_history_expired(spark, tmp_path):
     # and the cursor is usable again afterwards: next change refreshes
     # incrementally
     apply_delta(spark, t, [("doc9", 950, "s2", 6)])
+    assert mv.refresh(spark)["mode"] == "incremental"
+    assert got(spark, mv) == expect(spark, t)
+
+
+def test_view_wide_delta_switches_to_rebuild(spark, tmp_path):
+    """A delta touching most of the view's groups makes the targeted
+    path pure overhead — refresh auto-selects a clean rebuild (same
+    pick-by-size pattern as the MoR resolve and minhash sig_mode
+    auto-selects) and stays exact."""
+    t = LakeTable.create(str(tmp_path / "base"), SCHEMA,
+                         bucket_col="doc_id", num_buckets=8)
+    rows = [(f"doc{i}", i, f"s{i % 100}", 10 + i % 7) for i in range(400)]
+    t.append(spark.createDataFrame(rows, SCHEMA))
+    mv = MaterializedView.create(
+        spark, str(tmp_path / "mv"), str(tmp_path / "base"),
+        "source", AGGS, num_buckets=4)
+    mv.refresh(spark)
+    # touch 90 of the 100 groups in one batch
+    apply_delta(spark, t, [(f"doc{i}", 1000 + i, f"s{i % 90}", 1)
+                           for i in range(180)])
+    r = mv.refresh(spark)
+    assert r["mode"] == "rebuild" and r["reason"] == "wide-delta"
+    assert got(spark, mv) == expect(spark, t)
+    # a narrow follow-up goes back to the targeted path
+    apply_delta(spark, t, [("doc0", 5000, "s0", 2)])
     assert mv.refresh(spark)["mode"] == "incremental"
     assert got(spark, mv) == expect(spark, t)
