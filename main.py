@@ -351,7 +351,7 @@ def cmd_inspect(args: argparse.Namespace) -> int:
                    [-args.last_epochs:])
 
     def table_state(tbl: LakeTable) -> dict:
-        return {
+        state = {
             "snapshot": tbl.version,
             "schema_version": tbl.manifest["schema_version"],
             "physical_rows": sum(f.rows for f in tbl.files),  # base+deltas
@@ -361,6 +361,23 @@ def cmd_inspect(args: argparse.Namespace) -> int:
             "snapshots": len(tbl.snapshots()),
             "orphan_files": len(tbl.orphan_files()),
         }
+        props = tbl.properties
+        if "mv_base" in props:
+            # materialized view: report consumer lag (cursor vs the
+            # base's head) — the freshness gauge a reference consumer
+            # derives from its poll cursor (internal/db/utils.go)
+            cursor = int(props.get("mv_cursor", "0"))
+            base_head = (LakeTable(props["mv_base"]).version
+                         if LakeTable.exists(props["mv_base"]) else None)
+            state["view"] = {
+                "base": os.path.basename(props["mv_base"]),
+                "group_by": props.get("mv_group"),
+                "cursor": cursor,
+                "base_head": base_head,
+                "snapshots_behind": (None if base_head is None
+                                     else max(0, base_head - cursor)),
+            }
+        return state
 
     # every registered-dataset table in the warehouse (doc_events etc.),
     # discovered by layout — data tables only, control tables excluded

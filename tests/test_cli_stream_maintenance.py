@@ -714,6 +714,11 @@ def test_cli_view_create_and_incremental_refresh(spark, tmp_path):
                "--master", "local[4]"])
     assert r5.returncode == 0
     assert not json.loads(r5.stdout.strip().splitlines()[-1])["refreshed"]
+    # inspect (zero-JVM) surfaces the view's freshness gauge
+    r6 = _run(["inspect", "--warehouse", wh])
+    assert r6.returncode == 0
+    vstate = json.loads(r6.stdout)["tables"]["by_source"]["view"]
+    assert vstate["snapshots_behind"] == 0 and vstate["base"] == "documents"
 
 
 def test_cli_append_refreshes_views_in_loop(spark, tmp_path):
