@@ -246,7 +246,11 @@ def build_parser() -> argparse.ArgumentParser:
     vc.add_argument("--view", required=True, help="view table name")
     vc.add_argument("--base", default="documents",
                     help="base table name within the warehouse")
-    vc.add_argument("--group-by", required=True)
+    vc.add_argument("--group-by", required=True,
+                    help="base column, or a derived group as "
+                         "\"<sql expr> AS <alias>\" (e.g. "
+                         "\"date_format(ts,'yyyy-MM-dd') AS day\") — "
+                         "group values must be strings/integers")
     vc.add_argument("--agg", action="append", required=True,
                     metavar="OUT=FN(COL)",
                     help="repeatable, e.g. n=count(*) tok=sum(n_tok); "

@@ -103,24 +103,50 @@ class MaterializedView:
         is ``[[out_name, fn, col], ...]`` with fn in count/sum/min/max/
         avg/count_distinct (col "*" for count). ``where`` is an optional
         SQL predicate over base columns, applied before grouping. The
-        base must be a bucketed keyed table (the changelog requires it)
-        and ``group_col`` values must be non-null strings/ints (null
-        groups are excluded, as the reference's partial indexes exclude
-        their WHERE-filtered rows)."""
+        base must be a bucketed keyed table (the changelog requires it).
+
+        ``group_col`` is a base column name, or a DERIVED group of the
+        form ``"<sql expr> AS <alias>"`` (e.g. ``"date_trunc('day', ts)
+        AS day"``) — the analog of the reference's partial index on a
+        derived column (internal/db/migrations/20260210-add-additional-
+        lab-backend-indexes.sql). Group values must be non-null strings
+        or integers (so the driver-side bucket arithmetic that places
+        view rows is exact — cast/format in the expression, e.g.
+        date_format, when the natural type is a timestamp); null groups
+        are excluded, as partial indexes exclude their WHERE-filtered
+        rows."""
+        import re
+
         base = LakeTable(base_path)
         if not base.bucket_col:
             raise ValueError("materialized views require a bucketed base "
                              "(changelog needs the key)")
-        if group_col not in [f.name for f in base.schema().fields]:
-            raise ValueError(f"group column {group_col!r} not in base")
+        m = re.fullmatch(r"(?is)(.+?)\s+as\s+(\w+)", group_col.strip())
+        base_names = [f.name for f in base.schema().fields]
+        if m:
+            gexpr, group = m.group(1), m.group(2)
+            if group in base_names:
+                raise ValueError(
+                    f"derived-group alias {group!r} collides with a base "
+                    f"column — pick a fresh name")
+        else:
+            gexpr, group = None, group_col
+            if group not in base_names:
+                raise ValueError(f"group column {group!r} not in base")
         proto = MaterializedView._aggregate(
-            base.read(spark).limit(0), group_col, aggs, where)
+            base.read(spark).limit(0), group, aggs, where, gexpr)
+        gt = proto.schema[group].dataType.typeName()
+        if gt not in ("string", "long", "integer", "short", "byte"):
+            raise ValueError(
+                f"group values are {gt}; views need string/integer "
+                f"groups (cast or date_format in the expression)")
         LakeTable.create(
-            path, proto.schema, bucket_col=group_col,
+            path, proto.schema, bucket_col=group,
             num_buckets=num_buckets,
             properties={
                 "mv_base": os.path.abspath(base_path),
-                "mv_group": group_col,
+                "mv_group": group,
+                **({"mv_group_expr": gexpr} if gexpr else {}),
                 "mv_aggs": json.dumps(aggs),
                 **({"mv_where": where} if where else {}),
                 "mv_cursor": "0",
@@ -130,9 +156,12 @@ class MaterializedView:
     # ----------------------------------------------------------- refresh
     @staticmethod
     def _aggregate(df: DataFrame, group: str, aggs: list[list[str]],
-                   where: str | None) -> DataFrame:
+                   where: str | None,
+                   group_expr: str | None = None) -> DataFrame:
         if where:
             df = df.filter(F.expr(where))
+        if group_expr:
+            df = df.withColumn(group, F.expr(group_expr))
         return (df.filter(F.col(group).isNotNull())
                 .groupBy(group).agg(*_agg_cols(aggs)))
 
@@ -149,13 +178,16 @@ class MaterializedView:
         base = LakeTable(props["mv_base"])
         group, aggs = props["mv_group"], json.loads(props["mv_aggs"])
         where = props.get("mv_where")
+        gexpr = props.get("mv_group_expr")
+        gcol = F.expr(gexpr) if gexpr else F.col(group)
         cursor, head = int(props["mv_cursor"]), base.version
         out = {"from_snapshot": cursor, "to_snapshot": head}
         if cursor >= head:
             return {**out, "refreshed": False, "mode": "current"}
 
         def rebuild(mode: str, reason: str | None = None):
-            full = self._aggregate(base.read(spark), group, aggs, where)
+            full = self._aggregate(base.read(spark), group, aggs, where,
+                                   gexpr)
             v = t.overwrite_all(
                 full, summary={"mv_refresh": mode,
                                **({"mv_reason": reason} if reason else {})},
@@ -192,7 +224,7 @@ class MaterializedView:
         # post-image groups together (upsert rows ARE post-image rows; a
         # delete's non-key columns are null, so its post group drops out
         # here and its pre group is picked up below)
-        pairs = chg.select(key, F.col(group).alias("_g")).distinct() \
+        pairs = chg.select(key, gcol.alias("_g")).distinct() \
             .limit(max_inlist + 1).collect()
         if not pairs:   # only no-data commits in the range
             v = t.set_properties({"mv_cursor": str(head)},
@@ -224,7 +256,7 @@ class MaterializedView:
             # because a row moving from group A to B must shrink A even
             # though no post-image row mentions A
             pre = base.read(spark, snapshot=cursor, eq={key: keys}) \
-                .select(group).distinct().collect()
+                .select(gcol.alias(group)).distinct().collect()
             groups = sorted(post_gs
                             | {r[0] for r in pre if r[0] is not None})
             if not groups:  # every changed row had a null group
@@ -235,9 +267,15 @@ class MaterializedView:
             if wide(len(groups)):
                 return rebuild("rebuild", "wide-delta")
             n_groups = len(groups)
-            # recompute reads prune files via the harvested min/max
-            # stats for the group column (write_order/stats_columns)
-            current = base.read(spark, eq={group: groups})
+            # recompute: for a plain column the read prunes files via
+            # the harvested min/max stats (write_order/stats_columns);
+            # a derived group has no stored column to prune on, so the
+            # isin filter applies post-resolution only (the reference's
+            # partial index materializes the expression at write — our
+            # analog of that is a plain-column view over an ingest-time
+            # derived column)
+            current = (base.read(spark).filter(gcol.isin(groups))
+                       if gexpr else base.read(spark, eq={group: groups}))
             vb = sorted({bucket_of(g, t.num_buckets) for g in groups})
             old = (t.read(spark, buckets=vb)
                    .filter(~F.col(group).isin(groups)))
@@ -245,7 +283,8 @@ class MaterializedView:
             # past the driver cap: same algorithm with distributed
             # joins; the raw changes are reused three times, so persist
             chg = chg.persist()
-            if wide(chg.select(group).filter(F.col(group).isNotNull())
+            if wide(chg.select(gcol.alias(group))
+                    .filter(F.col(group).isNotNull())
                     .distinct().count()):        # early: post-only
                 chg.unpersist()
                 return rebuild("rebuild", "wide-delta")
@@ -254,21 +293,25 @@ class MaterializedView:
                 base.bucket_expr(F.col(key)).alias("b")).distinct()
                 .collect())
             pre_g = (base.read(spark, snapshot=cursor, buckets=bsel)
-                     .join(keys_df, key, "left_semi").select(group))
-            groups_df = (chg.select(group).union(pre_g)
+                     .join(keys_df, key, "left_semi")
+                     .select(gcol.alias(group)))
+            groups_df = (chg.select(gcol.alias(group)).union(pre_g)
                          .filter(F.col(group).isNotNull()).distinct()
                          .persist())
             if wide(groups_df.count()):
                 groups_df.unpersist()
                 chg.unpersist()
                 return rebuild("rebuild", "wide-delta")
-            current = base.read(spark).join(groups_df, group, "left_semi")
+            cur_base = base.read(spark)
+            if gexpr:
+                cur_base = cur_base.withColumn(group, gcol)
+            current = cur_base.join(groups_df, group, "left_semi")
             vb = sorted(r[0] for r in groups_df.select(
                 t.bucket_expr(F.col(group)).alias("b")).distinct()
                 .collect())
             old = (t.read(spark, buckets=vb)
                    .join(groups_df, group, "left_anti"))
-        re_agg = self._aggregate(current, group, aggs, where)
+        re_agg = self._aggregate(current, group, aggs, where, gexpr)
         new_state = (old.unionByName(re_agg)
                      .withColumn(BUCKET_COL, t.bucket_expr()))
         try:

@@ -240,3 +240,49 @@ def test_view_wide_delta_switches_to_rebuild(spark, tmp_path):
     apply_delta(spark, t, [("doc0", 5000, "s0", 2)])
     assert mv.refresh(spark)["mode"] == "incremental"
     assert got(spark, mv) == expect(spark, t)
+
+
+def test_view_derived_expression_group(spark, tmp_path):
+    """Views can group by a SQL expression ("<expr> AS alias") — the
+    analog of the reference's partial index on a derived column. Full
+    build and incremental refresh (including a doc whose derived group
+    MOVES) must match a from-scratch GROUP BY over the expression;
+    collisions and unhashable group types are rejected at create."""
+    t = mk_base(spark, tmp_path / "base")
+    gx = "concat('g', CAST(n_tok % 4 AS STRING))"
+    mv = MaterializedView.create(
+        spark, str(tmp_path / "mv"), str(tmp_path / "base"),
+        f"{gx} AS quad", [["n", "count", "*"], ["tok", "sum", "n_tok"]],
+        num_buckets=4)
+
+    def exp():
+        return {r["quad"]: (r["n"], r["tok"]) for r in
+                t.read(spark).groupBy(F.expr(gx).alias("quad"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("n_tok").alias("tok")).collect()}
+
+    def cur():
+        return {r["quad"]: (r["n"], r["tok"]) for r in
+                mv.table.refresh().read(spark).collect()}
+    assert mv.refresh(spark)["mode"] == "full"
+    assert cur() == exp()
+    # doc10 had n_tok=13 (quad g1) → 16 (quad g0): both derived groups
+    # must move; doc0 changes value within its group
+    apply_delta(spark, t, [("doc10", 500, "s0", 16),
+                           ("doc0", 501, "s0", 14)])
+    r = mv.refresh(spark)
+    assert r["mode"] == "incremental"
+    assert cur() == exp()
+    # distributed fallback path, same data
+    apply_delta(spark, t, [("doc11", 600, "s1", 27)])
+    assert mv.refresh(spark, max_inlist=1)["mode"] == "incremental"
+    assert cur() == exp()
+    with pytest.raises(ValueError, match="collides"):
+        MaterializedView.create(spark, str(tmp_path / "mv2"),
+                                str(tmp_path / "base"),
+                                f"{gx} AS n_tok", [["n", "count", "*"]])
+    with pytest.raises(ValueError, match="string/integer"):
+        MaterializedView.create(spark, str(tmp_path / "mv3"),
+                                str(tmp_path / "base"),
+                                "CAST(n_tok AS DOUBLE) AS d",
+                                [["n", "count", "*"]])
