@@ -56,7 +56,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .table import BUCKET_COL, LakeTable
+from .table import BUCKET_COL, CommitConflict, LakeTable
 from .xxh64 import bucket_of
 
 # aggregate spec entries are [out_name, fn, col]; every fn is recomputed
@@ -165,14 +165,28 @@ class MaterializedView:
         return (df.filter(F.col(group).isNotNull())
                 .groupBy(group).agg(*_agg_cols(aggs)))
 
-    def refresh(self, spark: SparkSession,
-                max_inlist: int = 8192) -> dict[str, Any]:
+    def refresh(self, spark: SparkSession, max_inlist: int = 8192,
+                retries: int = 5) -> dict[str, Any]:
         """Advance the view to the base's current snapshot. Idempotent and
         crash-safe: rerunning after any interruption converges (the
         cursor and data share one atomic commit). ``max_inlist`` caps the
         driver-side key/group lists; past it the same algorithm runs with
         distributed semi-joins and bucket-set pruning instead of in-list
-        point reads — the result is identical."""
+        point reads — the result is identical. A concurrent writer to the
+        view (e.g. an in-loop refresh racing a manual ``view-refresh``)
+        surfaces as CommitConflict; the whole refresh is recomputed
+        against the new head up to ``retries`` times — the merge path's
+        retry-×5 contract (operators/merge._with_commit_retry)."""
+        last: CommitConflict | None = None
+        for _ in range(max(1, retries)):
+            try:
+                return self._refresh_once(spark, max_inlist)
+            except CommitConflict as e:
+                last = e
+        raise last
+
+    def _refresh_once(self, spark: SparkSession,
+                      max_inlist: int) -> dict[str, Any]:
         t = self.table.refresh()
         props = t.properties
         base = LakeTable(props["mv_base"])

@@ -286,3 +286,35 @@ def test_view_derived_expression_group(spark, tmp_path):
                                 str(tmp_path / "base"),
                                 "CAST(n_tok AS DOUBLE) AS d",
                                 [["n", "count", "*"]])
+
+
+def test_view_refresh_retries_on_commit_conflict(spark, tmp_path,
+                                                 monkeypatch):
+    """A concurrent view writer surfaces as CommitConflict at the
+    manifest link; refresh recomputes against the refreshed head and
+    retries (merge-path retry-x5 contract). retries=1 propagates."""
+    from stellar_ledger_data_indexer_spark.lake.table import CommitConflict
+    t = mk_base(spark, tmp_path / "base")
+    mv = MaterializedView.create(
+        spark, str(tmp_path / "mv"), str(tmp_path / "base"),
+        "source", AGGS, num_buckets=4)
+    mv.refresh(spark)
+    apply_delta(spark, t, [("doc5", 500, "s1", 42)])
+
+    real = LakeTable._write_manifest
+    calls = {"n": 0}
+
+    def flaky(path, manifest):
+        if calls["n"] <= 0:
+            calls["n"] += 1
+            raise CommitConflict("simulated concurrent commit")
+        return real(path, manifest)
+    monkeypatch.setattr(LakeTable, "_write_manifest", staticmethod(flaky))
+    r = mv.refresh(spark)
+    assert r["refreshed"] and calls["n"] == 1
+    assert got(spark, mv) == expect(spark, t)
+
+    apply_delta(spark, t, [("doc6", 501, "s2", 43)])
+    calls["n"] = -10**9          # conflict on every attempt
+    with pytest.raises(CommitConflict):
+        mv.refresh(spark, retries=1)
