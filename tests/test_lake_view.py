@@ -318,3 +318,51 @@ def test_view_refresh_retries_on_commit_conflict(spark, tmp_path,
     calls["n"] = -10**9          # conflict on every attempt
     with pytest.raises(CommitConflict):
         mv.refresh(spark, retries=1)
+
+
+def test_views_compose_view_over_view(spark, tmp_path):
+    """A view IS a bucketed LakeTable, so a second-level view can use it
+    as base: its CoW refresh commits changelog as keyed diffs of the
+    rewritten buckets (including DELETE rows when a group vanishes), and
+    the downstream view consumes them like any CDC feed. Chain: docs →
+    per-source aggregates → size-class rollup; both stay exact through
+    incremental refreshes."""
+    t = mk_base(spark, tmp_path / "base", n=80)
+    v1 = MaterializedView.create(
+        spark, str(tmp_path / "v1"), str(tmp_path / "base"),
+        "source", [["n_docs", "count", "*"], ["tok", "sum", "n_tok"]],
+        num_buckets=4)
+    v2 = MaterializedView.create(
+        spark, str(tmp_path / "v2"), str(tmp_path / "v1"),
+        "CASE WHEN n_docs >= 16 THEN 'big' ELSE 'small' END AS size_class",
+        [["n_groups", "count", "*"], ["tok", "sum", "tok"]],
+        num_buckets=2)
+    v1.refresh(spark)
+    v2.refresh(spark)
+
+    def expect2():
+        return {r["size_class"]: (r["n_groups"], r["tok"]) for r in
+                v1.table.refresh().read(spark)
+                .groupBy(F.expr("CASE WHEN n_docs >= 16 THEN 'big' ELSE "
+                                "'small' END").alias("size_class"))
+                .agg(F.count(F.lit(1)).alias("n_groups"),
+                     F.sum("tok").alias("tok")).collect()}
+
+    def got2():
+        return {r["size_class"]: (r["n_groups"], r["tok"])
+                for r in v2.table.refresh().read(spark).collect()}
+    assert got2() == expect2()
+    # move docs around: s4 shrinks (may cross the size boundary), s1
+    # grows; refresh the chain and both levels stay exact
+    apply_delta(spark, t, [(f"doc{i}", 900 + i, "s1", 5)
+                           for i in (4, 9, 14, 19, 24)])
+    assert v1.refresh(spark)["refreshed"]
+    r2 = v2.refresh(spark)
+    assert r2["refreshed"] and r2["mode"] in ("incremental", "rebuild")
+    assert got2() == expect2()
+    assert {r["source"]: (r["n_docs"], r["tok"])
+            for r in v1.table.refresh().read(spark).collect()} == \
+        {r["source"]: (r["n"], r["tok"]) for r in
+         t.read(spark).groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("n_tok").alias("tok")).collect()}
