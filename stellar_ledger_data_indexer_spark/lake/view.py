@@ -295,51 +295,61 @@ class MaterializedView:
                    .filter(~F.col(group).isin(groups)))
         else:
             # past the driver cap: same algorithm with distributed
-            # joins; the raw changes are reused three times, so persist
+            # joins; the raw changes are reused three times, so persist.
+            # Every exit (early rebuilds, analysis errors, the commit)
+            # releases the caches — the finally owns them.
             chg = chg.persist()
-            if wide(chg.select(gcol.alias(group))
-                    .filter(F.col(group).isNotNull())
-                    .distinct().count()):        # early: post-only
+            groups_df = None
+            try:
+                if wide(chg.select(gcol.alias(group))
+                        .filter(F.col(group).isNotNull())
+                        .distinct().count()):    # early: post-only
+                    return rebuild("rebuild", "wide-delta")
+                keys_df = chg.select(key).distinct()
+                bsel = sorted(r[0] for r in keys_df.select(
+                    base.bucket_expr(F.col(key)).alias("b")).distinct()
+                    .collect())
+                pre_g = (base.read(spark, snapshot=cursor, buckets=bsel)
+                         .join(keys_df, key, "left_semi")
+                         .select(gcol.alias(group)))
+                groups_df = (chg.select(gcol.alias(group)).union(pre_g)
+                             .filter(F.col(group).isNotNull()).distinct()
+                             .persist())
+                if wide(groups_df.count()):
+                    return rebuild("rebuild", "wide-delta")
+                cur_base = base.read(spark)
+                if gexpr:
+                    cur_base = cur_base.withColumn(group, gcol)
+                current = cur_base.join(groups_df, group, "left_semi")
+                vb = sorted(r[0] for r in groups_df.select(
+                    t.bucket_expr(F.col(group)).alias("b")).distinct()
+                    .collect())
+                old = (t.read(spark, buckets=vb)
+                       .join(groups_df, group, "left_anti"))
+                re_agg = self._aggregate(current, group, aggs, where,
+                                         gexpr)
+                new_state = (old.unionByName(re_agg)
+                             .withColumn(BUCKET_COL, t.bucket_expr()))
+                v = t.overwrite_buckets(
+                    new_state, vb,
+                    summary={"mv_refresh": "incremental",
+                             "mv_buckets": len(vb)},
+                    properties={"mv_cursor": str(head)})
+            finally:
+                if groups_df is not None:
+                    groups_df.unpersist()
                 chg.unpersist()
-                return rebuild("rebuild", "wide-delta")
-            keys_df = chg.select(key).distinct()
-            bsel = sorted(r[0] for r in keys_df.select(
-                base.bucket_expr(F.col(key)).alias("b")).distinct()
-                .collect())
-            pre_g = (base.read(spark, snapshot=cursor, buckets=bsel)
-                     .join(keys_df, key, "left_semi")
-                     .select(gcol.alias(group)))
-            groups_df = (chg.select(gcol.alias(group)).union(pre_g)
-                         .filter(F.col(group).isNotNull()).distinct()
-                         .persist())
-            if wide(groups_df.count()):
-                groups_df.unpersist()
-                chg.unpersist()
-                return rebuild("rebuild", "wide-delta")
-            cur_base = base.read(spark)
-            if gexpr:
-                cur_base = cur_base.withColumn(group, gcol)
-            current = cur_base.join(groups_df, group, "left_semi")
-            vb = sorted(r[0] for r in groups_df.select(
-                t.bucket_expr(F.col(group)).alias("b")).distinct()
-                .collect())
-            old = (t.read(spark, buckets=vb)
-                   .join(groups_df, group, "left_anti"))
+            return {**out, "refreshed": True, "mode": "incremental",
+                    "groups": None, "view_buckets": len(vb),
+                    "view_snapshot": v}
         re_agg = self._aggregate(current, group, aggs, where, gexpr)
         new_state = (old.unionByName(re_agg)
                      .withColumn(BUCKET_COL, t.bucket_expr()))
-        try:
-            v = t.overwrite_buckets(
-                new_state, vb,
-                summary={"mv_refresh": "incremental",
-                         **({"mv_groups": n_groups}
-                            if n_groups is not None else {}),
-                         "mv_buckets": len(vb)},
-                properties={"mv_cursor": str(head)})
-        finally:
-            if n_groups is None:
-                groups_df.unpersist()
-                chg.unpersist()
+        v = t.overwrite_buckets(
+            new_state, vb,
+            summary={"mv_refresh": "incremental", "mv_groups": n_groups,
+                     "mv_buckets": len(vb)},
+            properties={"mv_cursor": str(head)})
         return {**out, "refreshed": True, "mode": "incremental",
                 "groups": n_groups, "view_buckets": len(vb),
                 "view_snapshot": v}
