@@ -283,12 +283,21 @@ def build_parser() -> argparse.ArgumentParser:
                        "(crash debris) — driver-side, no JVM"),
             ("rollback", "roll a table back to a previous snapshot "
                          "(new manifest, history preserved) — driver-"
-                         "side, no JVM")):
+                         "side, no JVM"),
+            ("purge", "physically DELETE rows matching --where (CoW "
+                      "rewrite of only the matching buckets; changelog "
+                      "emits them as delete changes) — retention / "
+                      "live_until expiry ≙ internal/db/ttl.go + the "
+                      "20260225 reindex upkeep")):
         mp = sub.add_parser(verb, help=hlp)
         mp.add_argument("--warehouse", required=True)
         mp.add_argument("--table", default="documents")
-        if verb == "compact":
+        if verb in ("compact", "purge"):
             mp.add_argument("--master", default=None)
+        if verb == "purge":
+            mp.add_argument("--where", required=True,
+                            help="SQL predicate; TRUE rows are deleted "
+                                 "(e.g. \"live_until < 5000\")")
         if verb == "expire-snapshots":
             mp.add_argument("--keep", type=int, default=2)
         if verb == "vacuum":
@@ -671,11 +680,12 @@ def cmd_view(args: argparse.Namespace) -> int:
 
 
 def cmd_maintenance(args: argparse.Namespace) -> int:
-    """compact / expire-snapshots / vacuum / rollback on one warehouse
-    table (≙ the reference's post-backfill maintenance migration).
-    compact/expire/vacuum never change logical state — only physical
-    layout (tests pin content fingerprints across each); rollback
-    restores a previous snapshot's state as a NEW head commit."""
+    """compact / expire-snapshots / vacuum / rollback / purge on one
+    warehouse table (≙ the reference's post-backfill maintenance
+    migration). compact/expire/vacuum never change logical state — only
+    physical layout (tests pin content fingerprints across each);
+    rollback restores a previous snapshot's state as a NEW head commit;
+    purge physically deletes predicate-matching rows (retention)."""
     from stellar_ledger_data_indexer_spark.lake.table import LakeTable
 
     tpath = os.path.join(args.warehouse, args.table)
@@ -697,11 +707,19 @@ def cmd_maintenance(args: argparse.Namespace) -> int:
         t.expire_snapshots(keep_last=args.keep)
     elif args.cmd == "rollback":
         t.rollback(args.to_snapshot)
+    elif args.cmd == "purge":
+        from stellar_ledger_data_indexer_spark.session import get_spark
+        spark = get_spark(app="sldi-purge", master=args.master)
+        try:
+            extra = t.delete_where(spark, args.where)
+        finally:
+            spark.stop()
     else:  # vacuum
         t.remove_orphans(older_than_secs=args.older_than)
     t.refresh()
     print(json.dumps({
         "status": "done", "verb": args.cmd, "table": args.table,
+        **({"purged": extra} if args.cmd == "purge" else {}),
         "before": before,
         "after": {"files": len(t.files), "snapshots": len(t.snapshots()),
                   "bytes": t.table_bytes(),
@@ -947,7 +965,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_changes(args)
     if args.cmd in ("view-create", "view-refresh"):
         return cmd_view(args)
-    if args.cmd in ("compact", "expire-snapshots", "vacuum", "rollback"):
+    if args.cmd in ("compact", "expire-snapshots", "vacuum", "rollback",
+                    "purge"):
         return cmd_maintenance(args)
     args = resolve_config(args)
     if not args.events_path or not args.warehouse:

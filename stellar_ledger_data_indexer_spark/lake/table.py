@@ -1052,6 +1052,46 @@ class LakeTable:
         return self._commit(files, drop, "overwrite", summary or {},
                             properties)
 
+    def delete_where(self, spark: SparkSession,
+                     predicate: str) -> dict[str, Any]:
+        """Physically delete the rows matching a SQL ``predicate`` —
+        copy-on-write rewrite of ONLY the buckets that hold matches
+        (SQL DELETE semantics: a row is deleted when the predicate is
+        TRUE; FALSE and NULL rows are kept). This is the retention /
+        TTL-expiry path the reference serves over its live_until column
+        (internal/db/ttl.go upsert target + the 20260225-reindex-
+        contract-data-live-until.sql upkeep): expired docs leave the
+        table rather than accreting as tombstone rows forever. The
+        rewrite is a ``merge`` commit, so changelog consumers (and
+        materialized views) observe the purged keys as ``delete``
+        changes via the keyed diff of the rewritten buckets — bounded
+        by those buckets, not the table.
+
+        Returns ``{"deleted_rows": n, "buckets": k, "snapshot": v}``;
+        a predicate with no matches commits nothing."""
+        if not self.num_buckets:
+            raise ValueError("delete_where requires a bucketed table")
+        pred = F.expr(predicate)
+        cur = self.read(spark)
+        # one pass finds both the touched buckets and the delete count
+        per_bucket = (cur.filter(pred)
+                      .groupBy(self.bucket_expr().alias("_b"))
+                      .count().collect())
+        if not per_bucket:
+            return {"deleted_rows": 0, "buckets": 0,
+                    "snapshot": self.version}
+        buckets = sorted(int(r["_b"]) for r in per_bucket)
+        deleted = sum(r["count"] for r in per_bucket)
+        keep = (self.read(spark, buckets=buckets)
+                .filter(~F.coalesce(pred, F.lit(False)))
+                .withColumn(BUCKET_COL, self.bucket_expr()))
+        v = self.overwrite_buckets(
+            keep, buckets,
+            summary={"operation_detail": "delete_where",
+                     "predicate": predicate, "deleted_rows": deleted})
+        return {"deleted_rows": deleted, "buckets": len(buckets),
+                "snapshot": v}
+
     def set_properties(self, properties: dict[str, str],
                        summary: dict[str, Any] | None = None) -> int:
         """Data-less commit that updates table properties (merge

@@ -798,3 +798,43 @@ def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
     assert [(r["doc_id"], r["seq"], r["source"]) for r in after.collect()] \
         == [(key, 5000, "zeta")]
     assert all(f"_bucket={b}/" in p for p in after.inputFiles())
+
+
+def test_delete_where_purges_and_changelog_emits_deletes(spark, tmp_path):
+    """delete_where = the retention/TTL-expiry path: TRUE rows leave the
+    table (NULL/FALSE kept — SQL DELETE semantics), only matching
+    buckets are rewritten, a no-match predicate commits nothing, and
+    the changelog reports the purged keys as delete changes so CDC
+    consumers/views observe the expiry."""
+    t = LakeTable.create(str(tmp_path / "pg"), SRC_SCHEMA,
+                         bucket_col="doc_id", num_buckets=4)
+    rows = [(f"doc{i}", i, "s", i if i % 3 else None) for i in range(30)]
+    t.append(spark.createDataFrame(rows, SRC_SCHEMA))
+    # MoR delta on top: doc5's newest version moves it OUT of the purge
+    # set (v -> null); doc7's newest version moves it IN
+    d = spark.createDataFrame([("doc5", 100, "s", None),
+                               ("doc7", 101, "s", 20)], SRC_SCHEMA) \
+        .withColumn(BUCKET_COL, t.bucket_expr())
+    t.append_delta(d, [r[0] for r in
+                       d.select(BUCKET_COL).distinct().collect()])
+    v0 = t.version
+    before = {r["doc_id"] for r in t.read(spark).collect()}
+    res = t.delete_where(spark, "v >= 10")
+    live = {r["doc_id"]: r for r in t.read(spark).collect()}
+    gone = before - set(live)
+    assert res["deleted_rows"] == len(gone) > 0
+    assert "doc5" in live and live["doc5"]["v"] is None  # resolved OUT
+    assert "doc7" in gone                                    # resolved IN
+    assert all(r["v"] is None or r["v"] < 10
+               for r in live.values())
+    # null-predicate rows (v IS NULL -> predicate NULL) were kept
+    assert any(r["v"] is None for r in live.values())
+    # changelog across the purge commit: exactly the purged keys, as
+    # deletes (keyed diff of the rewritten buckets)
+    ch = t.changelog(spark, v0, t.version).collect()
+    assert {(r["doc_id"], r["_change_type"]) for r in ch} == \
+        {(k, "delete") for k in gone}
+    # no matches -> no commit
+    v1 = t.version
+    assert t.delete_where(spark, "v >= 10")["deleted_rows"] == 0
+    assert t.version == v1

@@ -366,3 +366,21 @@ def test_views_compose_view_over_view(spark, tmp_path):
          t.read(spark).groupBy("source")
          .agg(F.count(F.lit(1)).alias("n"),
               F.sum("n_tok").alias("tok")).collect()}
+
+
+def test_view_reflects_purged_rows(spark, tmp_path):
+    """Retention purges (delete_where) surface to views through the
+    changelog's delete rows: purged docs leave their groups' aggregates,
+    and a fully-purged group's view row vanishes."""
+    t = mk_base(spark, tmp_path / "base")
+    mv = MaterializedView.create(
+        spark, str(tmp_path / "mv"), str(tmp_path / "base"),
+        "source", AGGS, num_buckets=4)
+    mv.refresh(spark)
+    res = t.delete_where(spark, "source = 's2' OR n_tok >= 15")
+    assert res["deleted_rows"] > 0
+    r = mv.refresh(spark)
+    assert r["refreshed"]
+    exp = expect(spark, t)
+    assert "s2" not in exp
+    assert got(spark, mv) == exp
