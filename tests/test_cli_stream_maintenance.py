@@ -793,3 +793,50 @@ def test_cli_stream_refreshes_views_per_microbatch(spark, tmp_path):
     exp = {r["source"]: r["n"] for r in t.read(spark).groupBy("source")
            .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert {r["source"]: r["n"] for r in v.read(spark).collect()} == exp
+
+
+def test_cli_changes_tails_a_view_table(spark, tmp_path):
+    """CDC-out composes with views: `changes --table <view>` reports a
+    view's refresh commits as keyed net changes (the CoW rewrite diffs
+    only the rewritten buckets), so downstream consumers can tail the
+    AGGREGATED table instead of the raw one."""
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+    from stellar_ledger_data_indexer_spark.sources.change_stream import (
+        StreamSpec, write_change_events)
+    events = str(tmp_path / "events")
+    wh = str(tmp_path / "wh")
+    write_change_events(spark, events, StreamSpec(n_events=3000, n_docs=100),
+                        partitions=3)
+    r1 = _run(["append", "--events-path", events, "--warehouse", wh,
+               "--start", "2", "--end", "50", "--epoch-size", "50",
+               "--num-buckets", "8", "--master", "local[4]"])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = _run(["view-create", "--warehouse", wh, "--view", "by_source",
+               "--group-by", "source", "--agg", "n=count(*)",
+               "--num-buckets", "4", "--refresh", "--master", "local[4]"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    v = LakeTable(os.path.join(wh, "by_source"))
+    cursor = v.version
+    r3 = _run(["append", "--events-path", events, "--warehouse", wh,
+               "--start", "2", "--end", "0", "--epoch-size", "50",
+               "--num-buckets", "8", "--views", "by_source",
+               "--master", "local[4]"])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    r4 = _run(["changes", "--warehouse", wh, "--table", "by_source",
+               "--from-snapshot", str(cursor), "--net", "--all",
+               "--master", "local[4]"])
+    assert r4.returncode == 0, r4.stderr[-2000:]
+    changes = [json.loads(ln) for ln in r4.stdout.splitlines()
+               if ln.startswith("{")]
+    assert changes, "view advanced but no net changes emitted"
+    # applying the net changes onto the cursor-time state reproduces the
+    # view's head state
+    state = {r["source"]: r["n"]
+             for r in v.read(spark, snapshot=cursor).collect()}
+    for c in changes:
+        if c["_change_type"] == "delete":
+            state.pop(c["source"], None)
+        else:
+            state[c["source"]] = c["n"]
+    head = {r["source"]: r["n"] for r in v.refresh().read(spark).collect()}
+    assert state == head
