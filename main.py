@@ -268,7 +268,11 @@ def build_parser() -> argparse.ArgumentParser:
              "their view buckets; cursor commits atomically with the "
              "data (crash-safe, idempotent)")
     vr.add_argument("--warehouse", required=True)
-    vr.add_argument("--view", required=True)
+    vr.add_argument("--view", default=None)
+    vr.add_argument("--all", action="store_true",
+                    help="refresh every materialized view in the "
+                         "warehouse, bases before dependents (view-over-"
+                         "view chains advance in one pass)")
     vr.add_argument("--max-inlist", type=int, default=8192)
     vr.add_argument("--master", default=None)
     for verb, hlp in (
@@ -649,7 +653,8 @@ def cmd_view(args: argparse.Namespace) -> int:
     from stellar_ledger_data_indexer_spark.lake.view import MaterializedView
     from stellar_ledger_data_indexer_spark.session import get_spark
 
-    path = os.path.join(args.warehouse, args.view)
+    path = (os.path.join(args.warehouse, args.view)
+            if args.view else None)
     spark = get_spark(app="sldi-view", master=args.master)
     try:
         if args.cmd == "view-create":
@@ -670,7 +675,39 @@ def cmd_view(args: argparse.Namespace) -> int:
                    "aggs": aggs}
             if args.refresh:
                 out["refresh"] = mv.refresh(spark)
+        elif args.all:
+            from stellar_ledger_data_indexer_spark.lake.table import (
+                LakeTable)
+
+            # discover every view in the warehouse, then order bases
+            # before dependents so a view-over-view chain advances in
+            # one pass
+            views: dict[str, MaterializedView] = {}
+            for n in sorted(os.listdir(args.warehouse)):
+                vp = os.path.join(args.warehouse, n)
+                if (not n.startswith("_") and LakeTable.exists(vp)
+                        and "mv_base" in LakeTable(vp).properties):
+                    views[n] = MaterializedView(vp)
+            order: list[str] = []
+            seen: set[str] = set()
+
+            def visit(name: str) -> None:
+                if name in seen:
+                    return
+                seen.add(name)
+                b = os.path.basename(
+                    views[name].table.properties["mv_base"])
+                if b in views:
+                    visit(b)
+                order.append(name)
+            for n in views:
+                visit(n)
+            out = {"refreshed": {n: views[n].refresh(
+                spark, max_inlist=args.max_inlist) for n in order}}
         else:
+            if not args.view:
+                print("error: pass --view NAME or --all", file=sys.stderr)
+                return 2
             out = MaterializedView(path).refresh(
                 spark, max_inlist=args.max_inlist)
         print(json.dumps(out))

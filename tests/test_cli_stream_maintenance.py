@@ -840,3 +840,62 @@ def test_cli_changes_tails_a_view_table(spark, tmp_path):
             state[c["source"]] = c["n"]
     head = {r["source"]: r["n"] for r in v.refresh().read(spark).collect()}
     assert state == head
+
+
+def test_cli_view_refresh_all_orders_chains(spark, tmp_path):
+    """`view-refresh --all` discovers every view and refreshes bases
+    before dependents, so a docs -> by_source -> size-class chain lands
+    current in ONE pass (a dependent refreshed before its base would
+    stay one commit behind)."""
+    from pyspark.sql import functions as F
+
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+    from stellar_ledger_data_indexer_spark.sources.change_stream import (
+        StreamSpec, write_change_events)
+    events = str(tmp_path / "events")
+    wh = str(tmp_path / "wh")
+    write_change_events(spark, events, StreamSpec(n_events=3000, n_docs=100),
+                        partitions=3)
+    r1 = _run(["append", "--events-path", events, "--warehouse", wh,
+               "--start", "2", "--end", "50", "--epoch-size", "50",
+               "--num-buckets", "8", "--master", "local[4]"])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    for spec in (
+            ["--view", "by_source", "--group-by", "source",
+             "--agg", "n=count(*)", "--agg", "tok=sum(n_tok)"],
+            ["--view", "size_class", "--base", "by_source",
+             "--group-by",
+             "CASE WHEN n >= 5 THEN 'big' ELSE 'small' END AS cls",
+             "--agg", "n_groups=count(*)", "--agg", "tok=sum(tok)"]):
+        r = _run(["view-create", "--warehouse", wh, "--num-buckets", "2",
+                  "--refresh", "--master", "local[4]"] + spec)
+        assert r.returncode == 0, r.stderr[-2000:]
+    r2 = _run(["append", "--events-path", events, "--warehouse", wh,
+               "--start", "2", "--end", "0", "--epoch-size", "50",
+               "--num-buckets", "8", "--master", "local[4]"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    r3 = _run(["view-refresh", "--warehouse", wh, "--all",
+               "--master", "local[4]"])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    res = json.loads(r3.stdout.strip().splitlines()[-1])["refreshed"]
+    assert list(res) == ["by_source", "size_class"]   # base first
+    assert all(v["refreshed"] for v in res.values())
+    # both levels current and exact
+    t = LakeTable(os.path.join(wh, "documents"))
+    v1 = LakeTable(os.path.join(wh, "by_source"))
+    v2 = LakeTable(os.path.join(wh, "size_class"))
+    assert v1.properties["mv_cursor"] == str(t.version)
+    assert v2.properties["mv_cursor"] == str(v1.version)
+    exp1 = {r["source"]: (r["n"], r["tok"]) for r in
+            t.read(spark).groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_tok").alias("tok")).collect()}
+    assert {r["source"]: (r["n"], r["tok"])
+            for r in v1.read(spark).collect()} == exp1
+    exp2 = {}
+    for n, tok in exp1.values():
+        cls = "big" if n >= 5 else "small"
+        g, tk = exp2.get(cls, (0, 0))
+        exp2[cls] = (g + 1, tk + tok)
+    assert {r["cls"]: (r["n_groups"], r["tok"])
+            for r in v2.read(spark).collect()} == exp2
