@@ -37,7 +37,8 @@ QUERY_NAMES = [
     "anti_join_unordered_parts",
     "semi_join_heavy_parts", "distinct_agg_supplier",
     "running_total_orders", "lag_gap_events", "sessionize_events",
-    "asof_last_click_before_error", "except_urgent_custs",
+    "asof_last_click_before_error", "asof_next_error_after_click",
+    "except_urgent_custs",
     "q3_shipping_priority",
     "exact_dedup", "token_count", "token_count_bpe", "text_stats", "lang_id",
     "ngram_jaccard_pairs", "embedding_neardup", "cosine_knn",

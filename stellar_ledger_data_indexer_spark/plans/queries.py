@@ -636,6 +636,39 @@ def sessionize_events(spark, sf):
                  F.max(us(F.col("ts"))).alias("end_us")))
 
 
+@_q("asof_next_error_after_click", """
+SELECT event_id, user_id,
+       epoch_us(next_error) - epoch_us(ts) AS gap_us
+FROM (
+  SELECT e.event_id, e.user_id, e.ts,
+         (SELECT MIN(c.ts) FROM events c
+          WHERE c.user_id = e.user_id AND c.event_type = 'error'
+            AND c.ts > e.ts) AS next_error
+  FROM events e WHERE e.event_type = 'click' AND e.user_id < 50) t
+WHERE next_error IS NOT NULL
+""")
+def asof_next_error_after_click(spark, sf):
+    """The FORWARD direction of the as-of join (functions/asof.asof_join
+    — backward is asof_last_click_before_error): for every click, the
+    microsecond gap until the same user's EARLIEST strictly-later error.
+    Same physical shape — union + one keyed window, first(ignorenulls)
+    looking forward, no join node. Oracle: correlated MIN subquery.
+    Sliced to user_id < 50 to bound the oracle at any sf."""
+    from ..functions.asof import asof_join
+    e = _t(spark, sf, "events").filter(F.col("user_id") < 50)
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    errors = (e.filter(F.col("event_type") == "error")
+              .select("user_id", "ts"))
+    j = asof_join(clicks, errors, on="ts", by="user_id", values=["ts"],
+                  direction="forward", strict=True, suffix="_err")
+    return (j.filter(F.col("ts_err").isNotNull())
+            .select("event_id", "user_id",
+                    (F.unix_micros(F.col("ts_err").cast("timestamp"))
+                     - F.unix_micros(F.col("ts").cast("timestamp")))
+                    .alias("gap_us")))
+
+
 @_q("asof_last_click_before_error", """
 SELECT event_id, user_id,
        epoch_us(ts) - epoch_us(last_click) AS gap_us

@@ -68,6 +68,7 @@ NON_EMPTY = [
     "rollup_pricing", "topk_per_group", "semi_join_heavy_parts",
     "distinct_agg_supplier", "running_total_orders",
     "sessionize_events", "asof_last_click_before_error",
+    "asof_next_error_after_click",
 ]
 
 
