@@ -384,8 +384,11 @@ def cmd_inspect(args: argparse.Namespace) -> int:
             # base's head) — the freshness gauge a reference consumer
             # derives from its poll cursor (internal/db/utils.go)
             cursor = int(props.get("mv_cursor", "0"))
-            base_head = (LakeTable(props["mv_base"]).version
-                         if LakeTable.exists(props["mv_base"]) else None)
+            from stellar_ledger_data_indexer_spark.lake.view import (
+                resolve_base_path)
+            bpath = resolve_base_path(tbl.path, props["mv_base"])
+            base_head = (LakeTable(bpath).version
+                         if LakeTable.exists(bpath) else None)
             state["view"] = {
                 "base": os.path.basename(props["mv_base"]),
                 "group_by": props.get("mv_group"),

@@ -38,6 +38,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     resolve to the one latest in the union's sort — deterministic given
     a deterministic right ordering; add a tiebreak column to ``on``
     upstream if the right side can carry exact duplicates.
+
+    Null ordering keys never match (SQL comparison semantics): right
+    rows with a null ``on`` are dropped before the union — Spark's asc
+    sort puts nulls FIRST, so an unfiltered null-keyed right row would
+    otherwise propagate its values to every left row until a real right
+    row overrides (ADVICE r5) — and left rows with a null ``on`` are
+    pinned to the front of the window sort in BOTH directions
+    (asc_nulls_first / desc_nulls_first) so they see no right row and
+    come out with null values, as a left join would.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, "
@@ -57,7 +66,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         *[F.col(c) for c in lonly],
         F.lit(1).alias("_side"),
         *[F.lit(None).cast(rtypes[v]).alias(f"_rv_{v}") for v in values])
-    r2 = right.select(
+    r2 = right.filter(F.col(on).isNotNull()).select(
         *by_list,
         F.col(on).alias("_on"),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in lonly],
@@ -67,8 +76,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
     # sort: along _on in match direction; at equal _on the right row
     # sorts before the left iff equality should match (non-strict)
-    onc = F.col("_on").asc() if direction == "backward" \
-        else F.col("_on").desc()
+    onc = F.col("_on").asc_nulls_first() if direction == "backward" \
+        else F.col("_on").desc_nulls_first()
     side = F.col("_side").desc() if strict else F.col("_side").asc()
     w = (Window.partitionBy(*by_list).orderBy(onc, side)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

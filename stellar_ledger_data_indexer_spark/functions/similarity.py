@@ -43,10 +43,22 @@ def cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     measured ~0.4 ms/pair; for 10^5+ candidate pairs the Arrow-batched
     numpy path is the hot-loop implementation (fixed-width embeddings →
     one matmul-shaped pass per batch). Null/ragged rows on either side
-    score null (same masking contract as the assignment UDFs)."""
+    score null (same masking contract as the assignment UDFs). The
+    working dimension is the MODAL length across both columns of the
+    batch — inferring it from the first non-null row of ``a`` alone
+    meant one ragged/corrupt leading row silently nulled the whole
+    batch (ADVICE r5); under the modal rule only the bad rows mask
+    out. Ties break to the larger length (deterministic)."""
     aa, bb = a.to_numpy(), b.to_numpy()
-    dim = next((len(x) for x in aa if x is not None
-                and getattr(x, "__len__", None) is not None), 0)
+    lens = np.fromiter(
+        (len(x) for arr in (aa, bb) for x in arr
+         if x is not None and getattr(x, "__len__", None) is not None),
+        dtype="int64")
+    if len(lens):
+        uniq, counts = np.unique(lens, return_counts=True)
+        dim = int(uniq[np.lexsort((uniq, counts))[-1]])
+    else:
+        dim = 0
     _, ok_a = _stack_rows(aa, dim)
     _, ok_b = _stack_rows(bb, dim)
     valid = ok_a & ok_b

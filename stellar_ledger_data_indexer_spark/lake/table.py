@@ -261,9 +261,32 @@ class LakeTable:
 
     def bucket_expr(self, col=None):
         """The partition transform: pmod(xxhash64(key), N) — deterministic
-        across sessions, the analog of Iceberg bucket(N, key)."""
+        across sessions, the analog of Iceberg bucket(N, key).
+
+        Narrow integral keys (byte/short/int) are cast to long FIRST:
+        Spark's ``xxhash64`` hashes IntegerType through the 4-byte
+        ``hashInt`` path while the driver twin (lake/xxh64.py) hashes
+        every Python int through the 8-byte ``hashLong`` path — without
+        the cast a point lookup on an int-bucketed table would prune to
+        the WRONG bucket (ADVICE r5, high). Casting to long makes the
+        JVM take ``hashLong`` too, so both sides agree for every
+        integral width; long/string keys are unchanged."""
         c = col if col is not None else F.col(self.bucket_col)
+        if self._bucket_key_narrow_int():
+            c = c.cast("long")
         return F.pmod(F.xxhash64(c), F.lit(self.num_buckets)).cast("int")
+
+    def _bucket_key_narrow_int(self) -> bool:
+        """True when the bucket key's declared type is an integral type
+        narrower than long (byte/short/int)."""
+        bc = self.bucket_col
+        if not bc:
+            return False
+        try:
+            t = self.schema()[bc].dataType.typeName()
+        except KeyError:
+            return False
+        return t in ("byte", "short", "integer")
 
     @property
     def properties(self) -> dict[str, str]:

@@ -72,6 +72,19 @@ _AGG_FNS = {
 }
 
 
+def resolve_base_path(view_path: str, mv_base: str) -> str:
+    """``mv_base`` is stored warehouse-relative (just the base table's
+    name for the usual sibling layout), so moving or renaming the whole
+    warehouse directory keeps every view working (ADVICE r5 — absolute
+    paths broke refresh/inspect after a move). Resolved against the view
+    table's parent directory at open time; absolute values (legacy
+    manifests written before round 6) pass through unchanged."""
+    if os.path.isabs(mv_base):
+        return mv_base
+    return os.path.normpath(
+        os.path.join(os.path.dirname(os.path.abspath(view_path)), mv_base))
+
+
 def _agg_cols(aggs: list[list[str]]):
     cols = []
     for out, fn, col in aggs:
@@ -144,7 +157,9 @@ class MaterializedView:
             path, proto.schema, bucket_col=group,
             num_buckets=num_buckets,
             properties={
-                "mv_base": os.path.abspath(base_path),
+                "mv_base": os.path.relpath(
+                    os.path.abspath(base_path),
+                    os.path.dirname(os.path.abspath(path))),
                 "mv_group": group,
                 **({"mv_group_expr": gexpr} if gexpr else {}),
                 "mv_aggs": json.dumps(aggs),
@@ -189,7 +204,7 @@ class MaterializedView:
                       max_inlist: int) -> dict[str, Any]:
         t = self.table.refresh()
         props = t.properties
-        base = LakeTable(props["mv_base"])
+        base = LakeTable(resolve_base_path(t.path, props["mv_base"]))
         group, aggs = props["mv_group"], json.loads(props["mv_aggs"])
         where = props.get("mv_where")
         gexpr = props.get("mv_group_expr")

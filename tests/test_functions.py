@@ -518,3 +518,55 @@ def test_asof_join_directions_strictness_and_nulls(spark):
                   direction="sideways")
     with _pt.raises(ValueError, match="value column"):
         asof_join(left, right, on="t", by="k", values=["nope"])
+
+
+def test_asof_join_null_ordering_keys_never_match(spark):
+    """ADVICE r5: under asc ordering Spark sorts nulls FIRST, so a right
+    row with a null ordering key used to sort before everything and
+    propagate its values (via last ignorenulls) to every left row until
+    a real right row overrode them. Null keys must never match: null-
+    keyed right rows are dropped before the union, null-keyed left rows
+    come out with null values — both directions."""
+    from stellar_ledger_data_indexer_spark.functions.asof import asof_join
+    left = spark.createDataFrame(
+        [("u1", 5, "a"), ("u1", 20, "b"), ("u1", None, "c")],
+        "k string, t long, tag string")
+    right = spark.createDataFrame(
+        [("u1", None, 999), ("u1", 10, 100)], "k string, t long, v long")
+
+    def got(direction):
+        out = asof_join(left, right, on="t", by="k", values=["v"],
+                        direction=direction)
+        return {(r["k"], r["tag"]): r["v_asof"] for r in out.collect()}
+    assert got("backward") == {
+        ("u1", "a"): None,   # t=5 precedes every real right row; 999
+                             # from the null-key right row must not leak
+        ("u1", "b"): 100,
+        ("u1", "c"): None,   # null left key: no match
+    }
+    assert got("forward") == {
+        ("u1", "a"): 100,
+        ("u1", "b"): None,
+        ("u1", "c"): None,
+    }
+
+
+def test_cosine_batch_ragged_leading_row_masks_only_itself(spark):
+    """ADVICE r5: cosine_batch inferred the embedding dim from the FIRST
+    non-null row of column a, so one ragged leading row failed the
+    len==dim mask for every well-formed row and silently nulled the
+    whole batch. The modal-length rule masks only the bad row."""
+    from stellar_ledger_data_indexer_spark.functions.similarity import (
+        cosine_batch)
+    rows = [
+        ("bad", [1.0, 2.0], [1.0, 0.0, 0.0]),   # ragged a-side row FIRST
+        ("p1", [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),
+        ("p2", [0.0, 1.0, 0.0], [1.0, 0.0, 0.0]),
+        ("p3", None, [1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, a array<double>, b array<double>").coalesce(1)
+    got = {r["id"]: r["c"] for r in
+           df.select("id", F.round(cosine_batch(F.col("a"), F.col("b")), 6)
+                     .alias("c")).collect()}
+    assert got == {"bad": None, "p1": 1.0, "p2": 0.0, "p3": None}

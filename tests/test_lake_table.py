@@ -838,3 +838,51 @@ def test_delete_where_purges_and_changelog_emits_deletes(spark, tmp_path):
     v1 = t.version
     assert t.delete_where(spark, "v >= 10")["deleted_rows"] == 0
     assert t.version == v1
+
+
+def test_int_bucket_key_jvm_driver_parity(spark, tmp_path):
+    """ADVICE r5 (high): Spark's ``xxhash64`` hashes IntegerType /
+    ShortType / ByteType through the 4-byte ``hashInt`` path while the
+    driver twin (lake/xxh64.py) hashes every Python int through the
+    8-byte ``hashLong`` path — an int-bucketed point lookup used to
+    prune to the WRONG bucket. ``bucket_expr`` now casts narrow
+    integral keys to long, so both sides agree for every width. This
+    pins: (a) randomized JVM↔driver parity across int/short/byte,
+    (b) that the cast is load-bearing (the UNcast JVM hash of an int
+    really does diverge), and (c) an int-bucketed table point lookup
+    that returns the right row from exactly one bucket."""
+    import random
+
+    from stellar_ledger_data_indexer_spark.lake.xxh64 import (
+        bucket_of, spark_xxhash64)
+    random.seed(6)
+    for tname, lo, hi in (("int", -2**31, 2**31 - 1),
+                          ("smallint", -2**15, 2**15 - 1),
+                          ("tinyint", -128, 127)):
+        vals = list({random.randrange(lo, hi + 1) for _ in range(24)}
+                    | {0, -1, lo, hi})
+        jvm = spark.createDataFrame([(v,) for v in vals], f"v {tname}") \
+            .select("v", F.xxhash64(F.col("v").cast("long")).alias("h")) \
+            .collect()
+        assert all(spark_xxhash64(r["v"]) == r["h"] for r in jvm), tname
+    raw37 = spark.createDataFrame([(37,)], "v int") \
+        .select(F.xxhash64("v").alias("h")).collect()[0]["h"]
+    assert raw37 != spark_xxhash64(37)  # the divergence the cast closes
+
+    ischema = T.StructType([
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("seq", T.LongType(), False),
+    ])
+    t = LakeTable.create(str(tmp_path / "ipt"), ischema,
+                         bucket_col="k", num_buckets=8)
+    t.append(spark.createDataFrame([(i, i * 10) for i in range(300)],
+                                   ischema))
+    # every row must live where the driver arithmetic says it does
+    placed = t.read(spark).withColumn("_b", t.bucket_expr()).collect()
+    assert all(r["_b"] == bucket_of(r["k"], 8) for r in placed)
+    b = bucket_of(37, 8)
+    one = t.read(spark, eq={"k": 37})
+    files = one.inputFiles()
+    assert files and all(f"_bucket={b}/" in p for p in files)
+    assert len(files) < len(t.read(spark).inputFiles())
+    assert [(r["k"], r["seq"]) for r in one.collect()] == [(37, 370)]

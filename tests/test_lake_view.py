@@ -384,3 +384,63 @@ def test_view_reflects_purged_rows(spark, tmp_path):
     exp = expect(spark, t)
     assert "s2" not in exp
     assert got(spark, mv) == exp
+
+
+def test_view_integer_group_and_warehouse_move(spark, tmp_path):
+    """ADVICE r5 (high + low): (a) an INTEGER-typed group column used to
+    compute wrong view buckets because the driver hash took the 8-byte
+    path while the JVM took the 4-byte int path — with bucket_expr's
+    narrow-int cast an int-group view now refreshes incrementally to
+    exact parity; (b) mv_base is stored warehouse-relative, so moving /
+    renaming the whole warehouse directory must keep refresh working."""
+    import shutil
+
+    ISCHEMA = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("grp", T.IntegerType(), True),
+        T.StructField("n_tok", T.LongType(), True),
+    ])
+    wh = tmp_path / "wh1"
+    wh.mkdir()
+    t = LakeTable.create(str(wh / "base"), ISCHEMA, bucket_col="doc_id",
+                         num_buckets=8)
+    rows = [(f"doc{i}", i, i % 23, 10 + i % 7) for i in range(200)]
+    t.append(spark.createDataFrame(rows, ISCHEMA))
+    mv = MaterializedView.create(
+        spark, str(wh / "v_grp"), str(wh / "base"), "grp",
+        [["n", "count", "*"], ["tok", "sum", "n_tok"]])
+    mv.refresh(spark)
+
+    def expect_int(tbl):
+        return {r["grp"]: (r["n"], r["tok"]) for r in
+                tbl.read(spark).groupBy("grp")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("n_tok").alias("tok")).collect()}
+
+    def got_int(view):
+        return {r["grp"]: (r["n"], r["tok"]) for r in
+                view.table.refresh().read(spark).collect()}
+    assert got_int(mv) == expect_int(t)
+    # group move through the incremental path (int pre+post groups both
+    # need the driver bucket arithmetic to hit the right view buckets)
+    df = spark.createDataFrame([("doc3", 1000, 7, 99)], ISCHEMA) \
+        .withColumn(BUCKET_COL, t.bucket_expr())
+    bs = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
+    t.append_delta(df, bs)
+    res = mv.refresh(spark)
+    assert res["mode"] == "incremental"
+    assert got_int(mv) == expect_int(t)
+
+    # move the whole warehouse; the view must still resolve its base
+    wh2 = tmp_path / "relocated"
+    shutil.move(str(wh), str(wh2))
+    t2 = LakeTable(str(wh2 / "base"))
+    df2 = spark.createDataFrame([("doc4", 2000, 11, 42)], ISCHEMA) \
+        .withColumn(BUCKET_COL, t2.bucket_expr())
+    bs2 = [r[0] for r in df2.select(BUCKET_COL).distinct().collect()]
+    t2.append_delta(df2, bs2)
+    mv2 = MaterializedView(str(wh2 / "v_grp"))
+    res2 = mv2.refresh(spark)
+    assert res2["refreshed"] and res2["mode"] == "incremental"
+    assert got_int(mv2) == expect_int(t2)
