@@ -43,10 +43,54 @@ QUERY_NAMES = [
     "exact_dedup", "token_count", "token_count_bpe", "text_stats", "lang_id",
     "ngram_jaccard_pairs", "embedding_neardup", "cosine_knn",
     "minhash_pairs", "simhash_signatures",
-    "minhash_lsh_verified", "simhash_neardup_recall", "cosine_lsh_recall",
-    "cosine_ivf_recall", "neardup_clusters", "sequence_pack_stats",
+    "minhash_lsh_verified", "incremental_neardup",
+    "simhash_neardup_recall", "cosine_lsh_recall",
+    "cosine_ivf_recall", "cosine_ivf_trained_recall",
+    "neardup_clusters", "sequence_pack_stats",
     "curation_pipeline",
 ]
+
+
+def _burn_worker(iters: int) -> int:
+    # pure-Python LCG burn — same worker as BENCH/scaling.py's probe
+    x = 0x2545F4914F6CDD1D
+    m = (1 << 64) - 1
+    for _ in range(iters):
+        x = (x * 6364136223846793005 + 1442695040888963407) & m
+    return x
+
+
+def climate_probe(par: int, iters: int = 2_000_000,
+                  trials: int = 3) -> dict:
+    """Engine-independent steal gauge embedded in the artifact of record
+    (VERDICT r5 item 2): pure-Python integer burn in OS processes — no
+    Spark, no I/O. ``burn_ceiling`` is the most ANY software could scale
+    N→par on this box in this window (hypervisor steal caps it below
+    1.0 in bad windows); ``spread`` is the same-window wall variance of
+    identical work. A ±25% swing between rounds is attributable INSIDE
+    the bench file: compare the two rounds' ceilings/spreads before
+    blaming the code. Uses spawn (JVM-safe) and costs ~15 s total."""
+    import multiprocessing as mp
+    ctx = mp.get_context("spawn")
+    lo = max(par // 4, 1)
+    walls: dict[int, list[float]] = {}
+    for procs in (lo, par):
+        w = []
+        with ctx.Pool(procs) as pool:
+            for _ in range(trials):
+                t0 = time.monotonic()
+                pool.map(_burn_worker, [iters] * procs)
+                w.append(round(time.monotonic() - t0, 3))
+        walls[procs] = w
+    thr = {k: k * iters / min(v) for k, v in walls.items()}
+    return {
+        "iters": iters, "procs": [lo, par],
+        "wall_sec": {str(k): v for k, v in walls.items()},
+        "ops_per_sec": {str(k): round(v) for k, v in thr.items()},
+        "burn_ceiling": round((thr[par] / thr[lo]) / (par / lo), 3),
+        "spread": {str(k): round((max(v) - min(v)) / min(v), 3)
+                   for k, v in walls.items()},
+    }
 
 
 def sf_of(path: str) -> float:
@@ -60,17 +104,20 @@ def sf_of(path: str) -> float:
 def bench_replay(spark, n_events: int, work_dir: str,
                  parallelism: int) -> dict:
     """Timed section: replay only (generation is setup). Best-of-N
-    replays (SLDI_BENCH_REPLAY_REPS, default 2, fresh warehouse each):
-    the headline throughput is the engine's cost, not the steal
-    window's — same-day single-shot replays swing 2× on this box
-    (67.3k vs 32.6k ev/s measured hours apart at identical config)."""
+    replays (SLDI_BENCH_REPLAY_REPS, default 3 per VERDICT r5 item 2,
+    fresh warehouse each): the headline throughput is the engine's
+    cost, not the steal window's — same-day single-shot replays swing
+    2× on this box (67.3k vs 32.6k ev/s measured hours apart at
+    identical config). Every rep's wall is recorded (``rep_walls``) so
+    the record itself shows the in-window variance."""
     events_path = os.path.join(work_dir, "change_events")
     spec = StreamSpec(n_events=n_events, n_docs=max(n_events // 12, 1000),
                       events_per_seq=max(n_events // 40, 100),
                       tok_len_min=8, tok_len_max=64)
     write_change_events(spark, events_path, spec, partitions=parallelism * 2)
-    reps = max(int(os.environ.get("SLDI_BENCH_REPLAY_REPS", "2")), 1)
+    reps = max(int(os.environ.get("SLDI_BENCH_REPLAY_REPS", "3")), 1)
     best = None
+    rep_walls: list[float] = []
     for _ in range(reps):
         wh = os.path.join(work_dir, "warehouse")
         shutil.rmtree(wh, ignore_errors=True)
@@ -84,7 +131,9 @@ def bench_replay(spark, n_events: int, work_dir: str,
         t0 = time.monotonic()
         reports = job.run(start=2, end=0, backfill=True)
         wall = time.monotonic() - t0
+        rep_walls.append(round(wall, 3))
         if best is not None and wall >= best["replay_sec"]:
+            best["rep_walls"] = rep_walls
             continue
         merge_bytes = sum((m["bytes_written"] or 0)
                           for m in job.metrics.read_latest())
@@ -102,7 +151,8 @@ def bench_replay(spark, n_events: int, work_dir: str,
                 "table_bytes": table_bytes,
                 "write_amplification": round(merge_bytes
                                              / max(table_bytes, 1), 2),
-                "reps": reps}
+                "reps": reps,
+                "rep_walls": rep_walls}
     return best
 
 
@@ -162,17 +212,17 @@ def bench_queries(spark) -> dict[str, float]:
     # the artifact of record — the best of N back-to-back runs is the
     # engine's cost, the others are the climate's
     reps = max(int(os.environ.get("SLDI_BENCH_QUERY_REPS", "3")), 1)
-    out = {}
+    out, out_reps = {}, {}
     for name in QUERY_NAMES:
         fn = QUERY_FNS[name]
-        best = None
+        walls = []
         for _ in range(reps):
             t0 = time.monotonic()
             fn(spark, SF_DIR).count()
-            dt = time.monotonic() - t0
-            best = dt if best is None or dt < best else best
-        out[name] = round(best, 3)
-    return out
+            walls.append(round(time.monotonic() - t0, 3))
+        out[name] = min(walls)
+        out_reps[name] = walls
+    return out, out_reps
 
 
 def bench_packing(spark) -> dict:
@@ -226,10 +276,16 @@ def main() -> int:
         owned.append(work)
     os.makedirs(work, exist_ok=True)
     try:
+        # same-window steal calibration bracketing the measurements:
+        # start probe before the timed work, end probe after — the two
+        # together date-stamp the climate the walls were taken in
+        climate = {"start": climate_probe(par)}
         replay = bench_replay(spark, n_events, work, par)
         replay_only = os.environ.get("SLDI_BENCH_REPLAY_ONLY")
-        queries = {} if replay_only else bench_queries(spark)
+        queries, queries_reps = ({}, {}) if replay_only \
+            else bench_queries(spark)
         packing = {} if replay_only else bench_packing(spark)
+        climate["end"] = climate_probe(par)
         total = replay["replay_sec"] + sum(queries.values())
         print(json.dumps({
             "metric": "cdc_replay_plus_catalog_wall",
@@ -240,6 +296,8 @@ def main() -> int:
             "replay": replay,
             "packing": packing,
             "parallelism": par,
+            "climate": climate,
+            "queries_reps": queries_reps,
         }))
         return 0
     finally:

@@ -171,6 +171,77 @@ def ivf_centroids(dim: int, n_centroids: int = 8, seed: int = 42) -> np.ndarray:
     return rng.randn(n_centroids, dim).astype("float32")
 
 
+def train_ivf_centroids(emb: DataFrame, dim: int, n_centroids: int = 8,
+                        seed: int = 42, sample_size: int = 4096,
+                        iters: int = 20, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Sampled spherical k-means for the IVF coarse quantizer (VERDICT
+    r5 next-step 3: seeded-random centroids only pass recall gates on
+    corpora where recall cannot fail — real embedding distributions are
+    CLUSTERED, and a random quantizer splits tight clusters across cell
+    boundaries, so an n_probe-limited search loses the fraction on the
+    far side; see test_trained_vs_random_ivf_recall for the measured
+    separation).
+
+    Deterministic end to end: the sample is the ``sample_size`` rows
+    with the smallest ``xxhash64(id)`` — rank-by-hash is a uniform
+    pseudo-random draw the optimizer executes as TakeOrderedAndProject
+    (per-partition top-k + driver merge, no full sort, no extra
+    shuffle — the only runnable deterministic sampler at 10^10 rows;
+    ``sample()`` without a seed-per-partition contract is neither
+    deterministic across partition layouts nor collectible). Training
+    is driver-side Lloyd's on the sample (sample_size × dim float64 —
+    4096 × 768 ≈ 25 MB, trivially driver-sized), k-means++-style
+    seeded init, empty cells reseeded deterministically. Cosine
+    geometry throughout: rows are unit-normalized and centroids are
+    renormalized means (spherical k-means), matching ivf_assign's
+    argmax-cosine assignment. Null/ragged rows are dropped from the
+    sample (same masking contract as the assignment UDFs)."""
+    rows = (emb.select(F.col(vec_col).alias("v"),
+                       F.xxhash64(F.col(id_col)).alias("_h"))
+            .orderBy("_h").limit(sample_size).collect())
+    m = np.array([list(r["v"]) for r in rows
+                  if r["v"] is not None and len(r["v"]) == dim],
+                 dtype="float64")
+    if len(m) < n_centroids:
+        raise ValueError(f"need >= {n_centroids} valid sample vectors, "
+                         f"got {len(m)}")
+    nrm = np.linalg.norm(m, axis=1)
+    nrm[nrm == 0] = 1.0
+    u = m / nrm[:, None]
+    best_C, best_obj = None, -np.inf
+    for restart in range(4):
+        # seeded multi-restart: a single k-means++ draw occasionally
+        # splits one mode and merges two; four restarts scored by the
+        # spherical objective (mean max-cosine) pick the best basin —
+        # still fully deterministic and driver-trivial
+        rng = np.random.RandomState(seed + 101 * restart)
+        cents = [u[rng.randint(len(u))]]
+        for _ in range(n_centroids - 1):
+            d = 1.0 - np.max(np.stack([u @ c for c in cents]), axis=0)
+            d = np.clip(d, 0.0, None)
+            s = d.sum()
+            pick = rng.choice(len(u), p=d / s) if s > 0 \
+                else rng.randint(len(u))
+            cents.append(u[pick])
+        C = np.stack(cents)
+        for _ in range(iters):
+            a = np.argmax(u @ C.T, axis=1)
+            for j in range(n_centroids):
+                sel = u[a == j]
+                if len(sel):
+                    v = sel.mean(axis=0)
+                    nv = np.linalg.norm(v)
+                    if nv > 0:
+                        C[j] = v / nv
+                else:
+                    C[j] = u[rng.randint(len(u))]
+        obj = float(np.mean(np.max(u @ C.T, axis=1)))
+        if obj > best_obj:
+            best_C, best_obj = C, obj
+    return best_C.astype("float32")
+
+
 def ivf_assign_batch(centroids: np.ndarray):
     """Arrow-batched coarse-quantizer cell assignment: normalize the
     centroid matrix once driver-side, then per Arrow batch ONE matmul
@@ -212,10 +283,15 @@ def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
 def cosine_topk_ivf(emb: DataFrame, query: list[float], k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_centroids: int = 8, n_probe: int = 2,
-                    seed: int = 42) -> DataFrame:
+                    seed: int = 42,
+                    centroids: np.ndarray | None = None) -> DataFrame:
     """IVF search: assign rows to coarse cells, probe the n_probe cells
-    nearest the query, brute-force within."""
-    cents = ivf_centroids(len(query), n_centroids, seed)
+    nearest the query, brute-force within. Pass ``centroids`` from
+    ``train_ivf_centroids`` for clustered corpora — the seeded-random
+    default is only adequate when the corpus has no cluster structure
+    for a random boundary to cut."""
+    cents = centroids if centroids is not None \
+        else ivf_centroids(len(query), n_centroids, seed)
     qv = np.asarray(query, dtype="float64")
 
     def cos(c):
@@ -233,7 +309,8 @@ def cosine_topk_ivf(emb: DataFrame, query: list[float], k: int = 10,
 def write_ivf_index(emb: DataFrame, path: str, dim: int,
                     n_centroids: int = 8, seed: int = 42,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> np.ndarray:
+                    vec_col: str = "embedding",
+                    centroids: np.ndarray | None = None) -> np.ndarray:
     """Materialize the IVF scale path: assign every vector its coarse
     cell (one Arrow-batched matmul per batch) and write the corpus
     parquet-partitioned by ``_cell``. This is the claim the in-memory
@@ -242,8 +319,11 @@ def write_ivf_index(emb: DataFrame, path: str, dim: int,
     touches only ``n_probe / n_centroids`` of the data via DIRECTORY
     pruning (no file even opened outside the probed cells; asserted via
     inputFiles in tests). Returns the centroid matrix so searchers and
-    writer provably share the quantizer."""
-    cents = ivf_centroids(dim, n_centroids, seed)
+    writer provably share the quantizer. Pass ``centroids`` (e.g. from
+    ``train_ivf_centroids``) to lay the corpus out under a trained
+    quantizer; searchers must then be handed the same matrix."""
+    cents = centroids if centroids is not None \
+        else ivf_centroids(dim, n_centroids, seed)
     (emb.select(F.col(id_col), F.col(vec_col))
         .withColumn("_cell", ivf_assign(F.col(vec_col), cents))
         .write.partitionBy("_cell").mode("overwrite").parquet(path))
@@ -253,14 +333,18 @@ def write_ivf_index(emb: DataFrame, path: str, dim: int,
 def search_ivf_index(spark, path: str, query: list[float], k: int = 10,
                      n_centroids: int = 8, n_probe: int = 2,
                      seed: int = 42, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     centroids: np.ndarray | None = None) -> DataFrame:
     """Probe-limited search over a ``write_ivf_index`` table: rank cells
     against the query driver-side (tiny centroid matrix, no Spark job),
     scan ONLY the probed partitions (partition pruning on the ``_cell``
     directory column), brute-force cosine within. Same scoring and
     tie-breaks as ``cosine_topk_ivf`` — the two are interchangeable, one
-    computes the cell per read, this one amortizes it into the layout."""
-    cents = ivf_centroids(len(query), n_centroids, seed)
+    computes the cell per read, this one amortizes it into the layout.
+    ``centroids`` MUST be the matrix ``write_ivf_index`` returned when a
+    trained quantizer laid the table out."""
+    cents = centroids if centroids is not None \
+        else ivf_centroids(len(query), n_centroids, seed)
     qv = np.asarray(query, dtype="float64")
 
     def cos(c):
