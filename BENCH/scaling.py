@@ -86,7 +86,7 @@ spark.stop()
 
 
 def run_stage_probe(cpus: int, events: int, codec: str = "lz4",
-                    reps: int = 2) -> dict:
+                    reps: int = 2, tokens_codec: str = "array") -> dict:
     """Per-stage replay decomposition (VERDICT r4 next-step 6): time the
     pipeline's three physical phases separately at one parallelism level
     so the replay-scaling inversion is attributable to a STAGE, not
@@ -96,7 +96,11 @@ def run_stage_probe(cpus: int, events: int, codec: str = "lz4",
     through Spark's noop sink (a count would let Catalyst drop every
     column and measure footer reads). ``codec`` sets
     spark.io.compression.codec for the whole JVM — the shuffle-payload
-    mitigation A/B the DRAM-wall analysis calls for."""
+    mitigation A/B the DRAM-wall analysis calls for. ``tokens_codec``
+    ("array"|"u16"|"varint") runs with the packed-binary token payload
+    (functions/token_codec.py) — the fewer-bytes-through-the-write-wall
+    mitigation of VERDICT r5 next-step 4; stages 1-2 time the packed
+    projection/dedup too, so the decomposition stays like-for-like."""
     code = f"""
 import json, os, shutil, time
 os.environ["SLDI_LOCAL_DIR"] = "/dev/shm/sldi_stage_local_{cpus}_" + str(os.getpid())
@@ -129,8 +133,18 @@ try:
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
-    t_scan = best(lambda: noop(project_base(ev)))
-    t_dedup = best(lambda: noop(dedup_lww(project_base(ev),
+    def projected():
+        base = project_base(ev)
+        if "{tokens_codec}" != "array":
+            from pyspark.sql import functions as FF
+            from stellar_ledger_data_indexer_spark.functions.token_codec \\
+                import encode_tokens
+            base = base.withColumn(
+                "tokens", encode_tokens(FF.col("tokens"), "{tokens_codec}"))
+        return base
+
+    t_scan = best(lambda: noop(projected()))
+    t_dedup = best(lambda: noop(dedup_lww(projected(),
                                           key_cols=("doc_id",),
                                           order_cols=("seq", "pos"),
                                           first_seq_col="seq")))
@@ -139,7 +153,9 @@ try:
         shutil.rmtree(wh, ignore_errors=True)
         IngestJob(spark, JobConfig(
             events_path=ev_path, warehouse=wh, num_buckets=64,
-            epoch_size=1 << 62)).run(start=2, end=0, backfill=True)
+            epoch_size=1 << 62,
+            tokens_codec="{tokens_codec}")).run(start=2, end=0,
+                                                backfill=True)
     t_replay = best(replay)
     print(json.dumps({{
         "scan_project_sec": round(t_scan, 3),
@@ -149,7 +165,7 @@ try:
             "scan_project": round(t_scan, 3),
             "dedup_shuffle": round(t_dedup - t_scan, 3),
             "merge_write_rest": round(t_replay - t_dedup, 3)}},
-        "codec": "{codec}"}}))
+        "codec": "{codec}", "tokens_codec": "{tokens_codec}"}}))
 finally:
     shutil.rmtree(work, ignore_errors=True)
     shutil.rmtree(os.environ["SLDI_LOCAL_DIR"], ignore_errors=True)
@@ -218,6 +234,10 @@ def main() -> int:
                     help="stages probe: spark.io.compression.codec for "
                          "the shuffle-payload mitigation A/B (lz4|zstd|"
                          "snappy)")
+    ap.add_argument("--tokens-codec", default="array",
+                    choices=("array", "u16", "varint"),
+                    help="stages probe: target token payload "
+                         "(packed-binary mitigation, VERDICT r5 item 4)")
     ap.add_argument("--repeat", type=int, default=3,
                     help="replay legs per level; best-of-N (hypervisor "
                          "steal spikes slow single runs up to 3×)")
@@ -233,8 +253,10 @@ def main() -> int:
     ceiling = burn["burn_ceiling_N_to_4N"]
 
     if args.probe == "stages":
-        lo = run_stage_probe(args.n, args.events, codec=args.codec)
-        hi = run_stage_probe(args.n * 4, args.events, codec=args.codec)
+        lo = run_stage_probe(args.n, args.events, codec=args.codec,
+                             tokens_codec=args.tokens_codec)
+        hi = run_stage_probe(args.n * 4, args.events, codec=args.codec,
+                             tokens_codec=args.tokens_codec)
 
         def eff_of(k: str) -> float:
             # stage speedup via inverse walls (same input both levels)
@@ -242,6 +264,7 @@ def main() -> int:
 
         result = {
             "probe": "stages", "events": args.events, "codec": args.codec,
+            "tokens_codec": args.tokens_codec,
             f"local[{args.n}]": lo, f"local[{args.n * 4}]": hi,
             "stage_scaling_efficiency_N_to_4N": {
                 "scan_project": eff_of("scan_project_sec"),

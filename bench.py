@@ -38,11 +38,13 @@ QUERY_NAMES = [
     "semi_join_heavy_parts", "distinct_agg_supplier",
     "running_total_orders", "lag_gap_events", "sessionize_events",
     "asof_last_click_before_error", "asof_next_error_after_click",
-    "except_urgent_custs",
+    "except_urgent_custs", "intersect_urgent_heavy",
     "q3_shipping_priority",
     "exact_dedup", "token_count", "token_count_bpe", "text_stats", "lang_id",
     "ngram_jaccard_pairs", "embedding_neardup", "cosine_knn",
     "minhash_pairs", "simhash_signatures",
+    "quantile_thresholds", "approx_distinct_customers",
+    "stratified_sample_docs",
     "minhash_lsh_verified", "incremental_neardup",
     "simhash_neardup_recall", "cosine_lsh_recall",
     "cosine_ivf_recall", "cosine_ivf_trained_recall",

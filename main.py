@@ -48,6 +48,11 @@ LAYERED = {
     # view-create'd tables in the warehouse, comma-separated; empty = none)
     "views": (str, ""),
     "view_refresh_every": (int, 1),
+    # target token payload (functions/token_codec.py): array | u16 |
+    # varint — packed-binary forms cut bytes through the dedup shuffle
+    # and the merge write (the measured non-scaling stage); pick at
+    # first creation of a warehouse, consumers decode via decode_tokens
+    "tokens_codec": (str, "array"),
     "master": (str, None),
     # ≙ the reference's --metrics-port admin server (cmd/root.go flags +
     # internal/main.go:94-116); None disables, 0 binds an ephemeral port
@@ -100,6 +105,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated materialized views (created via "
                          "view-create) refreshed inside the ingest loop "
                          "after each epoch's commit")
+    ap.add_argument("--tokens-codec", choices=("array", "u16", "varint"),
+                    default=None,
+                    help="target token payload: array (default) or a "
+                         "packed-binary codec (u16 = 2 B/token for "
+                         "vocabularies <= 65535, varint = LEB128) — "
+                         "fewer bytes through shuffle + merge write; "
+                         "set at first creation of a warehouse")
     ap.add_argument("--view-refresh-every", type=int, default=None,
                     help="epochs between in-loop view refreshes "
                          "(default 1)")
@@ -156,6 +168,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="materialized views refreshed per micro-batch "
                          "(comma-separated view-create'd tables)")
     sp.add_argument("--view-refresh-every", type=int, default=None)
+    sp.add_argument("--tokens-codec", choices=("array", "u16", "varint"),
+                    default=None)
     sp.add_argument("--master", default=None)
     sp.add_argument("--metrics-port", type=int, default=None)
     sp.add_argument("--metrics-bind", default=None)
@@ -275,6 +289,52 @@ def build_parser() -> argparse.ArgumentParser:
                          "view chains advance in one pass)")
     vr.add_argument("--max-inlist", type=int, default=8192)
     vr.add_argument("--master", default=None)
+    nc = sub.add_parser(
+        "neardup-create",
+        help="create a persisted MinHash-LSH near-dup index (bucketed "
+             "band-bucket LakeTable; see functions/neardup_index.py) — "
+             "new batches dedup against the corpus via point-pruned "
+             "band-bucket reads instead of re-signaturing everything")
+    nc.add_argument("--index", required=True, help="index table directory")
+    nc.add_argument("--id-type", choices=("long", "string"), default="long")
+    nc.add_argument("--num-buckets", type=int, default=64)
+    nc.add_argument("--shingle-n", type=int, default=3)
+    nc.add_argument("--num-perm", type=int, default=32)
+    nc.add_argument("--num-bands", type=int, default=16)
+    nc.add_argument("--seed", type=int, default=7)
+    na = sub.add_parser(
+        "neardup-add",
+        help="signature a document set and append its band rows to the "
+             "index (O(docs); the per-epoch maintenance write)")
+    na.add_argument("--index", required=True)
+    na.add_argument("--docs", required=True,
+                    help="parquet path or LakeTable directory")
+    na.add_argument("--text-col", default="text")
+    na.add_argument("--id-col", default="doc_id")
+    na.add_argument("--master", default=None)
+    nd = sub.add_parser(
+        "neardup-dedup",
+        help="dedup a NEW batch against the indexed corpus (and itself): "
+             "probe only the band-buckets the batch's signatures hit, "
+             "exact-verify candidates, drop transitive near-dups "
+             "(accepted corpus rows are immutable; batch clusters keep "
+             "the min id)")
+    nd.add_argument("--index", required=True)
+    nd.add_argument("--batch", required=True,
+                    help="parquet path or LakeTable directory")
+    nd.add_argument("--corpus", default=None,
+                    help="corpus texts for verification: parquet path or "
+                         "LakeTable dir (LakeTable bucketed by the id "
+                         "column gets point-read)")
+    nd.add_argument("--threshold", type=float, default=0.5)
+    nd.add_argument("--text-col", default="text")
+    nd.add_argument("--id-col", default="doc_id")
+    nd.add_argument("--out", default=None,
+                    help="write survivors to this parquet path")
+    nd.add_argument("--add-survivors", action="store_true",
+                    help="append survivors' band rows to the index "
+                         "(the grow-the-index ingest-loop shape)")
+    nd.add_argument("--master", default=None)
     for verb, hlp in (
             ("compact", "fold merge-on-read deltas / coalesce small files "
                         "per bucket (Spark job; state unchanged)"),
@@ -862,7 +922,8 @@ def _job_config(args) -> "JobConfig":  # noqa: F821 (resolved below)
                        if s.strip()),
         views=tuple(s.strip() for s in (args.views or "").split(",")
                     if s.strip()),
-        view_refresh_every=args.view_refresh_every)
+        view_refresh_every=args.view_refresh_every,
+        tokens_codec=args.tokens_codec)
 
 
 def cmd_append(args: argparse.Namespace) -> int:
@@ -961,7 +1022,8 @@ def cmd_stream(args: argparse.Namespace) -> int:
             follow=(f"{args.poll_interval} seconds" if follow else None),
             gauges_path=os.path.join(args.warehouse, "_gauges.json"),
             views=job.views,
-            view_refresh_every=args.view_refresh_every)
+            view_refresh_every=args.view_refresh_every,
+            tokens_codec=args.tokens_codec)
         rc = 0
         if follow:
             # run-forever tail: poll-loop awaitTermination so the SIGINT
@@ -995,6 +1057,58 @@ def cmd_stream(args: argparse.Namespace) -> int:
         spark.stop()
 
 
+def _load_docs(spark, path: str):
+    """Documents input for the neardup verbs: a LakeTable directory
+    (manifest present) or a plain parquet path."""
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+    if LakeTable.exists(path):
+        return LakeTable(path).read(spark)
+    return spark.read.parquet(path)
+
+
+def cmd_neardup(args: argparse.Namespace) -> int:
+    from stellar_ledger_data_indexer_spark.functions.neardup_index import \
+        NeardupIndex
+    if args.cmd == "neardup-create":
+        idx = NeardupIndex.create(
+            args.index, id_type=args.id_type, num_buckets=args.num_buckets,
+            shingle_n=args.shingle_n, num_perm=args.num_perm,
+            num_bands=args.num_bands, seed=args.seed)
+        print(json.dumps({"status": "created", "index": args.index,
+                          **idx.params}))
+        return 0
+    from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+    from stellar_ledger_data_indexer_spark.session import get_spark
+    idx = NeardupIndex(args.index)
+    spark = get_spark(app=f"sldi-{args.cmd}", master=args.master)
+    try:
+        if args.cmd == "neardup-add":
+            v = idx.add(spark, _load_docs(spark, args.docs),
+                        text_col=args.text_col, id_col=args.id_col)
+            print(json.dumps({"status": "added", "index": args.index,
+                              "index_snapshot": v}))
+            return 0
+        corpus = None
+        if args.corpus:
+            corpus = (LakeTable(args.corpus)
+                      if LakeTable.exists(args.corpus)
+                      else _load_docs(spark, args.corpus))
+        res = idx.dedup_batch(
+            spark, _load_docs(spark, args.batch), corpus_docs=corpus,
+            text_col=args.text_col, id_col=args.id_col,
+            threshold=args.threshold, add_survivors=args.add_survivors)
+        if args.out:
+            res["survivors"].write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"status": "done", "n_batch": res["n_batch"],
+                          "n_dropped": res["n_dropped"],
+                          "n_survivors": res["n_batch"] - res["n_dropped"],
+                          "probe": res["probe"],
+                          **({"out": args.out} if args.out else {})}))
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.cmd == "inspect":
@@ -1008,6 +1122,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd in ("compact", "expire-snapshots", "vacuum", "rollback",
                     "purge"):
         return cmd_maintenance(args)
+    if args.cmd.startswith("neardup-"):
+        return cmd_neardup(args)
     args = resolve_config(args)
     if not args.events_path or not args.warehouse:
         print("error: --events-path and --warehouse are required "

@@ -81,12 +81,22 @@ class JobConfig:
     # by the view's own cursor on the next epoch or manual view-refresh).
     views: tuple[str, ...] = ()
     view_refresh_every: int = 1     # epochs between view refreshes
+    # token payload representation on the target (VERDICT r5 next-step
+    # 4 — fewer bytes through the measured DRAM/write-walled merge
+    # stage): "array" keeps array<int>; "u16"/"varint" store ONE
+    # BinaryType value per row (functions/token_codec.py; 2.0 / ~2.7
+    # bytes per token vs 4), encoded right after projection so the
+    # dedup shuffle carries the packed form too. Consumers decode with
+    # decode_tokens(col, codec); n_tok is derived before packing, so
+    # the derived-column path is unchanged. Choose at FIRST creation of
+    # a warehouse — the target schema is pinned by it.
+    tokens_codec: str = "array"
 
 
 def apply_change_batch(spark: SparkSession, target: LakeTable, events,
                        salt_buckets: int = 0, strict_ops: bool = False,
                        fused: bool = True, mor: bool = False,
-                       enrich: bool = True):
+                       enrich: bool = True, tokens_codec: str = "array"):
     """The epoch body, reusable by the batch job and the streaming sink:
     base stage (project → LWW dedup → upsert merge), then enrichment
     stage — the fixed dataset order of the reference
@@ -108,6 +118,10 @@ def apply_change_batch(spark: SparkSession, target: LakeTable, events,
                                                  in target.schema().fields}
     t0 = now()
     base = project_base(events)
+    if tokens_codec != "array":
+        from .functions.token_codec import encode_tokens
+        base = base.withColumn(
+            "tokens", encode_tokens(F.col("tokens"), tokens_codec))
     deduped = dedup_lww(base, key_cols=("doc_id",), order_cols=("seq", "pos"),
                         salt_buckets=salt_buckets, first_seq_col="seq")
     if fused and has_enrich_col:
@@ -150,17 +164,24 @@ class IngestJob:
         # the column here; read() null-fills old files. live_until is
         # deliberately excluded — tests/the golden suite create
         # enrichment-less targets on purpose (pre-20260203 parity).
+        base_schema = TARGET
+        if cfg.tokens_codec != "array":
+            base_schema = T.StructType(
+                [T.StructField(f.name, T.BinaryType(), f.nullable)
+                 if f.name == "tokens" else f for f in TARGET.fields])
         pre_ttl = T.StructType(
-            [f for f in TARGET.fields if f.name != "live_until"])
+            [f for f in base_schema.fields if f.name != "live_until"])
         # write_order ≙ the reference's sort-order index tuning
         # (ORDER BY durability DESC, key_hash DESC served by index,
         # 20260211-add-additional-lab-backend-indexes-1.sql:8-10):
         # rows sorted (source, seq DESC) within each written file so
         # source/seq-filtered downstream reads prune row groups
         self.target, existed = LakeTable.open_or_create(
-            tpath, pre_ttl if LakeTable.exists(tpath) else TARGET,
+            tpath, pre_ttl if LakeTable.exists(tpath) else base_schema,
             bucket_col="doc_id", num_buckets=cfg.num_buckets,
-            properties={"write_order": "source,-seq"})
+            properties={"write_order": "source,-seq",
+                        **({"tokens_codec": cfg.tokens_codec}
+                           if cfg.tokens_codec != "array" else {})})
         # registered datasets in dependency order (≙ the ordered
         # processor list, internal/main.go:127-144); each "upsert"
         # dataset owns an independent bucketed table in the warehouse
@@ -347,7 +368,8 @@ class IngestJob:
             salt_buckets=self.cfg.salt_buckets,
             strict_ops=self.cfg.strict_ops,
             fused=self.cfg.fused_merge, mor=mor,
-            enrich=any(s.kind == "enrich" for s in self.datasets))
+            enrich=any(s.kind == "enrich" for s in self.datasets),
+            tokens_codec=self.cfg.tokens_codec)
         self.metrics.record(self.spark, epoch_id, "tokens", None, None,
                             mres.matched, mres.inserted, mres.updated,
                             base_wall, bytes_written=mres.bytes_written)

@@ -752,8 +752,14 @@ WITH q AS (
     AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10
         >= length(text) * 5
 ),
+th AS (
+  SELECT quantile_cont(n_tokens, 0.05) AS lo,
+         quantile_cont(n_tokens, 0.95) AS hi
+  FROM q
+),
 g AS (
-  SELECT doc_id, n_tokens FROM q WHERE n_tokens BETWEEN 5 AND 1000
+  SELECT doc_id, n_tokens FROM q, th
+  WHERE n_tokens >= th.lo AND n_tokens <= th.hi
 ),
 d AS (
   SELECT md5({_NORM_SQL}) AS fp, MIN(doc_id) AS doc_id
@@ -763,18 +769,27 @@ SELECT g.doc_id, g.n_tokens FROM g JOIN d USING (doc_id)
 """)
 def curation_pipeline(spark, sf):
     """End-to-end training-data curation as ONE composed plan: language
-    filter → integer-exact quality gates (alpha share ≥ 0.5, sane token
-    count) → exact dedup keeping the canonical (min doc_id) copy. The
-    shapes a 100 TB curation run chains — filter pushdown, group-by
-    dedup, semi-join back — in a single Catalyst plan; every gate uses
-    integer arithmetic so the oracle hashes exactly."""
+    filter → integer-exact quality gate (alpha share ≥ 0.5) →
+    QUANTILE-DERIVED token band (keep the p05–p95 token-count range of
+    the gated corpus — VERDICT r5 next-step 5: real curation derives
+    thresholds from corpus quantiles, not constants; Spark
+    ``percentile`` ≙ DuckDB ``quantile_cont``, identical linear
+    interpolation, broadcast back as a 1-row cross join) → exact dedup
+    keeping the canonical (min doc_id) copy. The shapes a 100 TB
+    curation run chains — filter pushdown, one quantile aggregation,
+    group-by dedup, semi-join back — in a single Catalyst plan."""
     d = _t(spark, sf, "documents")
     t = F.col("text")
     alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
-    gated = (d.filter(F.col("lang") == "en")
-             .filter(alpha * 10 >= F.length(t) * 5)
-             .withColumn("n_tokens", TX.token_count(t))
-             .filter(F.col("n_tokens").between(5, 1000)))
+    q = (d.filter(F.col("lang") == "en")
+         .filter(alpha * 10 >= F.length(t) * 5)
+         .withColumn("n_tokens", TX.token_count(t)))
+    th = q.agg(F.percentile("n_tokens", 0.05).alias("lo"),
+               F.percentile("n_tokens", 0.95).alias("hi"))
+    gated = (q.crossJoin(F.broadcast(th))
+             .filter((F.col("n_tokens") >= F.col("lo"))
+                     & (F.col("n_tokens") <= F.col("hi")))
+             .drop("lo", "hi"))
     canon = (exact_duplicates(gated)
              .select(F.col("canonical_id").alias("doc_id")))
     return (gated.join(canon, "doc_id")
@@ -1562,3 +1577,123 @@ def cosine_ivf_trained_recall(spark, sf):
     hits = brute.join(ivf.withColumn("_h", F.lit(1)), "vec_id", "left")
     return hits.agg(F.count("*").alias("n_brute"),
                     (F.sum("_h") == F.count("*")).alias("recall_ok"))
+
+
+# ------------------------------- approximate aggregates + sampling (r6)
+
+@_q("quantile_thresholds", """
+WITH n AS (
+  SELECT lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(string_split_regex(trim(text), '\\s+')) END AS nt
+  FROM documents)
+SELECT lang,
+       ROUND(quantile_cont(nt, 0.5), 4) AS p50,
+       ROUND(quantile_cont(nt, 0.95), 4) AS p95,
+       TRUE AS approx_ok
+FROM n GROUP BY lang
+""")
+def quantile_thresholds(spark, sf):
+    """Approximate-quantile derivation per language (VERDICT r5
+    next-step 5): the threshold-producing aggregate of a real curation
+    run. Two layers in one entry: the EXACT interpolated percentiles
+    (Spark ``percentile`` ≙ DuckDB ``quantile_cont`` — same linear
+    interpolation, value-compared at 4 decimals), and the sketch gate
+    ``approx_ok``: ``percentile_approx(accuracy=100)`` guarantees a
+    RANK error ≤ 1/accuracy·N, so the gate checks the sketch value's
+    rank — count(nt < v) ≤ (p+0.02)·N and count(nt ≤ v) ≥ (p-0.02)·N,
+    pure integer arithmetic. (A value-space band against interpolated
+    quantiles is the wrong bound: at a gap in the data the disc sketch
+    value legitimately sits outside cont(p ± ε) — measured on the de/fr
+    strata.) Deterministic (the sketch is a deterministic fold), pinned
+    TRUE by the constant oracle. At 100 TB this is the one-pass
+    substitute for an exact sort-based quantile: partial-aggregated
+    sketch, no global sort."""
+    d = _t(spark, sf, "documents")
+    n = d.select("lang", TX.token_count(F.col("text")).alias("nt"))
+    a = n.groupBy("lang").agg(
+        F.round(F.percentile("nt", 0.5), 4).alias("p50"),
+        F.round(F.percentile("nt", 0.95), 4).alias("p95"),
+        F.percentile_approx("nt", 0.5, 100).alias("_a50"),
+        F.percentile_approx("nt", 0.95, 100).alias("_a95"))
+    j = n.join(F.broadcast(a.select("lang", "_a50", "_a95")), "lang")
+    r = j.groupBy("lang").agg(
+        F.count("*").alias("_N"),
+        F.sum((F.col("nt") < F.col("_a50")).cast("long")).alias("_lt50"),
+        F.sum((F.col("nt") <= F.col("_a50")).cast("long")).alias("_le50"),
+        F.sum((F.col("nt") < F.col("_a95")).cast("long")).alias("_lt95"),
+        F.sum((F.col("nt") <= F.col("_a95")).cast("long")).alias("_le95"))
+    ok = ((F.col("_lt50") * 100 <= F.col("_N") * 52)
+          & (F.col("_le50") * 100 >= F.col("_N") * 48)
+          & (F.col("_lt95") * 100 <= F.col("_N") * 97)
+          & (F.col("_le95") * 100 >= F.col("_N") * 93))
+    return (a.join(r, "lang")
+            .select("lang", "p50", "p95", ok.alias("approx_ok")))
+
+
+@_q("approx_distinct_customers", """
+SELECT COUNT(DISTINCT o_custkey) AS n_exact, TRUE AS hll_ok
+FROM orders
+""")
+def approx_distinct_customers(spark, sf):
+    """HyperLogLog++ cardinality gate (VERDICT r5 next-step 5): the
+    exact distinct count is value-compared against DuckDB, and the
+    sketch estimate (``approx_count_distinct``, rsd=0.02) must land
+    within 3·rsd of it — deterministic for a fixed dataset (the HLL
+    fold has no randomness at run time), pinned TRUE by the constant
+    oracle. At 100 TB the sketch is mergeable partial state: one pass,
+    fixed memory, no distinct shuffle of the full key set."""
+    o = _t(spark, sf, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        ((F.abs(F.approx_count_distinct("o_custkey", 0.02)
+                - F.countDistinct("o_custkey")) * 100)
+         <= F.countDistinct("o_custkey") * 6).alias("hll_ok"))
+
+
+@_q("intersect_urgent_heavy", """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+""")
+def intersect_urgent_heavy(spark, sf):
+    """Set operation (INTERSECT DISTINCT): customers with at least one
+    urgent order AND at least one heavy order — completes the set-op
+    family next to except_urgent_custs (Spark plans a left-semi join
+    over distinct keys; both branches prune to the key at the scan)."""
+    o = _t(spark, sf, "orders")
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("custkey")))
+    heavy = (o.filter(F.col("o_totalprice") > 150000)
+             .select(F.col("o_custkey").alias("custkey")))
+    return urgent.intersect(heavy)
+
+
+@_q("stratified_sample_docs", """
+WITH w AS (
+  SELECT doc_id, lang,
+         (doc_id * 2654435761) % 4294967296 % 1000 AS h,
+         CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 250
+                   WHEN 'de' THEN 125 ELSE 60 END AS keep
+  FROM documents)
+SELECT doc_id, lang FROM w WHERE h < keep
+""")
+def stratified_sample_docs(spark, sf):
+    """Seeded stratified sampling for training-mix construction
+    (VERDICT r5 next-step 6): per-source mixture weights applied as a
+    DETERMINISTIC hash threshold — keep a document iff
+    ``knuth_hash(doc_id) mod 1000 < weight(lang)`` (Knuth's
+    multiplicative hash, pure integer arithmetic both engines evaluate
+    identically, so DuckDB value-oracles the exact row set —
+    ``sampleBy`` cannot be oracled and is not reproducible across
+    partition layouts). The same predicate at 100 TB is a pushed-down
+    scan filter: no shuffle, no state, and re-running the mix yields
+    byte-identical membership."""
+    d = _t(spark, sf, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) \
+        % F.lit(1000)
+    keep = (F.when(F.col("lang") == "en", 500)
+            .when(F.col("lang") == "fr", 250)
+            .when(F.col("lang") == "de", 125)
+            .otherwise(60))
+    return d.filter(h < keep).select("doc_id", "lang")

@@ -53,7 +53,8 @@ def stream_replay(spark: SparkSession, events_path: str, target: LakeTable,
                   follow: str | None = None,
                   gauges_path: str | None = None,
                   views: list | None = None,
-                  view_refresh_every: int = 1):
+                  view_refresh_every: int = 1,
+                  tokens_codec: str = "array"):
     """Start a streaming replay into ``target``. Returns the
     StreamingQuery; callers drive it with processAllAvailable()/stop()
     (tests) or awaitTermination() (production tail).
@@ -117,7 +118,8 @@ def stream_replay(spark: SparkSession, events_path: str, target: LakeTable,
 
         mres, _eres, _walls = apply_change_batch(
             batch_df.sparkSession, target, batch_df,
-            salt_buckets=salt_buckets, mor=mor, enrich=enrich)
+            salt_buckets=salt_buckets, mor=mor, enrich=enrich,
+            tokens_codec=tokens_codec)
         for spec, tbl in (extra_datasets or []):
             batch = spec.dedup(spec.project(batch_df))
             merge_upsert_generic(batch_df.sparkSession, tbl, batch,
