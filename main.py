@@ -53,6 +53,11 @@ LAYERED = {
     # and the merge write (the measured non-scaling stage); pick at
     # first creation of a warehouse, consumers decode via decode_tokens
     "tokens_codec": (str, "array"),
+    # ingest-loop near-dup LSH index (functions/neardup_index.py,
+    # mode=tokens): path (warehouse-relative ok) of a NeardupIndex that
+    # gains each epoch's live documents' band rows after the commit
+    # marker; dedup new batches against it with `neardup-dedup`
+    "neardup_index": (str, None),
     "master": (str, None),
     # ≙ the reference's --metrics-port admin server (cmd/root.go flags +
     # internal/main.go:94-116); None disables, 0 binds an ephemeral port
@@ -112,6 +117,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "vocabularies <= 65535, varint = LEB128) — "
                          "fewer bytes through shuffle + merge write; "
                          "set at first creation of a warehouse")
+    ap.add_argument("--neardup-index", default=None,
+                    help="maintain a near-dup LSH index (mode=tokens) at "
+                         "this path in the ingest loop: each epoch's live "
+                         "documents' band rows are appended after the "
+                         "commit marker (see neardup-* verbs)")
     ap.add_argument("--view-refresh-every", type=int, default=None,
                     help="epochs between in-loop view refreshes "
                          "(default 1)")
@@ -170,6 +180,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--view-refresh-every", type=int, default=None)
     sp.add_argument("--tokens-codec", choices=("array", "u16", "varint"),
                     default=None)
+    sp.add_argument("--neardup-index", default=None)
     sp.add_argument("--master", default=None)
     sp.add_argument("--metrics-port", type=int, default=None)
     sp.add_argument("--metrics-bind", default=None)
@@ -923,7 +934,8 @@ def _job_config(args) -> "JobConfig":  # noqa: F821 (resolved below)
         views=tuple(s.strip() for s in (args.views or "").split(",")
                     if s.strip()),
         view_refresh_every=args.view_refresh_every,
-        tokens_codec=args.tokens_codec)
+        tokens_codec=args.tokens_codec,
+        neardup_index=args.neardup_index)
 
 
 def cmd_append(args: argparse.Namespace) -> int:
@@ -1023,7 +1035,8 @@ def cmd_stream(args: argparse.Namespace) -> int:
             gauges_path=os.path.join(args.warehouse, "_gauges.json"),
             views=job.views,
             view_refresh_every=args.view_refresh_every,
-            tokens_codec=args.tokens_codec)
+            tokens_codec=args.tokens_codec,
+            neardup_index=job.ndx)
         rc = 0
         if follow:
             # run-forever tail: poll-loop awaitTermination so the SIGINT

@@ -119,6 +119,21 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         " ", F.slice(words, i, n)))
 
 
+def token_shingles(tokens: Column, n: int = 8) -> Column:
+    """Array of token-id n-gram strings over an ``array<int>`` column —
+    the tokenized-corpus analog of ``word_shingles`` (near-dup of token
+    SEQUENCES, e.g. dedup at ingest time where documents arrive already
+    tokenized). JVM-only: sequence + slice + cast + concat_ws; a
+    sequence shorter than ``n`` yields an empty shingle set (same guard
+    as word_shingles)."""
+    k = F.size(tokens) - F.lit(n - 1)
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(
+        ",", F.transform(F.slice(tokens, i, n),
+                         lambda x: x.cast("string"))))
+
+
 # -------------------------------------------------------------- minhash
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """SplitMix64 finalizer (public-domain constants, same family the
@@ -234,7 +249,8 @@ def _plan_input_bytes(df: DataFrame) -> int | None:
 def minhash_banded(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", shingle_n: int = 3,
                    num_perm: int = 32, num_bands: int = 8,
-                   seed: int = 7, sig_mode: str = "auto") -> DataFrame:
+                   seed: int = 7, sig_mode: str = "auto",
+                   shingles: Column | None = None) -> DataFrame:
     """The signature half of MinHash LSH: one (id, band-bucket) row per
     (doc, band) — shingle → num_perm-way min-hash signature → banding.
     Split out of minhash_candidate_pairs so callers that form several
@@ -247,7 +263,14 @@ def minhash_banded(docs: DataFrame, text_col: str = "text",
     above ARROW_SIG_BYTES of Catalyst-estimated input (driver-side, no
     job; env SLDI_MINHASH_ARROW_BYTES overrides) — small corpora pay
     the Python round-trip more than the shuffle it saves, large corpora
-    the reverse (A/B in BENCH/BASELINE.md round 5)."""
+    the reverse (A/B in BENCH/BASELINE.md round 5).
+
+    ``shingles`` overrides the shingle source (default:
+    ``word_shingles(text_col, shingle_n)``) — pass
+    ``token_shingles(F.col("tokens"), n)`` to band token SEQUENCES
+    instead of text; everything downstream is shingle-agnostic."""
+    sh = shingles if shingles is not None \
+        else word_shingles(F.col(text_col), shingle_n)
     if sig_mode == "auto":
         threshold = int(os.environ.get("SLDI_MINHASH_ARROW_BYTES",
                                        ARROW_SIG_BYTES))
@@ -256,8 +279,7 @@ def minhash_banded(docs: DataFrame, text_col: str = "text",
                     else "grouped")
     rows_per_band = num_perm // num_bands
     if sig_mode == "arrow":
-        hashes = F.transform(word_shingles(F.col(text_col), shingle_n),
-                             lambda s: F.xxhash64(s, F.lit(seed)))
+        hashes = F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed)))
         # no .filter(_sig.isNotNull()) here: a filter referencing the UDF
         # output gets its OWN ArrowEvalPython node (the projection below
         # re-extracts a second one — measured 2× signature evaluation in
@@ -274,8 +296,7 @@ def minhash_banded(docs: DataFrame, text_col: str = "text",
     elif sig_mode == "grouped":
         base = docs.select(
             F.col(id_col),
-            F.explode(F.transform(word_shingles(F.col(text_col), shingle_n),
-                                  lambda s: F.xxhash64(s, F.lit(seed))))
+            F.explode(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
             .alias("h"))
         sig = base.groupBy(id_col).agg(
             *[F.min(F.xxhash64(F.col("h"), F.lit(seed + 1 + i)))
@@ -420,7 +441,8 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 2,
                         threshold: float = 0.5,
                         block_col: str | None = None,
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None,
+                        shingles: Column | None = None) -> DataFrame:
     """Exact n-gram-set Jaccard scoring over pairs. The pair space MUST
     be bounded up front — either by a blocking key (``block_col``, e.g.
     lang) or an explicit candidate-pair DataFrame with (id_a, id_b)
@@ -436,7 +458,8 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     sets = docs.select(
         F.col(id_col),
         *([F.col(block_col).alias("_blk")] if block_col else []),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        F.array_distinct(shingles if shingles is not None
+                         else word_shingles(F.col(text_col), shingle_n))
         .alias("grams"))
     if candidates is not None:
         a = sets.select(F.col(id_col).alias("id_a"),

@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..lake.table import LakeTable
-from .dedup_text import minhash_banded, ngram_jaccard_pairs
+from .dedup_text import minhash_banded, ngram_jaccard_pairs, token_shingles
 from .graph import connected_components
 
 _ID_TYPES = {"long": T.LongType(), "string": T.StringType()}
@@ -73,9 +73,16 @@ class NeardupIndex:
     @staticmethod
     def create(path: str, *, id_type: str = "long", num_buckets: int = 32,
                shingle_n: int = 3, num_perm: int = 32, num_bands: int = 16,
-               seed: int = 7) -> "NeardupIndex":
+               seed: int = 7, mode: str = "text") -> "NeardupIndex":
+        """``mode="text"`` shingles a string column with word n-grams;
+        ``mode="tokens"`` shingles an array<int> column with token-id
+        n-grams (token_shingles) — the ingest-loop form where documents
+        arrive already tokenized. The mode is pinned with the other LSH
+        parameters."""
         if id_type not in _ID_TYPES:
             raise ValueError(f"id_type must be long|string, got {id_type}")
+        if mode not in ("text", "tokens"):
+            raise ValueError(f"mode must be text|tokens, got {mode}")
         schema = T.StructType([
             T.StructField("bucket", T.LongType(), False),
             T.StructField("band", T.IntegerType(), False),
@@ -87,7 +94,7 @@ class NeardupIndex:
                 "ndx_params": json.dumps({
                     "shingle_n": shingle_n, "num_perm": num_perm,
                     "num_bands": num_bands, "seed": seed,
-                    "id_type": id_type}),
+                    "id_type": id_type, "mode": mode}),
                 # band-hash-ordered files → tight per-file min/max stats
                 # on the probe column, stacking stats skipping on top of
                 # the bucket arithmetic
@@ -103,12 +110,15 @@ class NeardupIndex:
     def banded(self, docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
         """(doc_id, band, bucket) banded-signature rows for ``docs`` under
-        the index's pinned parameters."""
+        the index's pinned parameters. In ``mode="tokens"``,
+        ``text_col`` names the array<int> column to shingle."""
         p = self.params
+        sh = (token_shingles(F.col(text_col), p["shingle_n"])
+              if p.get("mode", "text") == "tokens" else None)
         b = minhash_banded(docs, text_col=text_col, id_col=id_col,
                            shingle_n=p["shingle_n"], num_perm=p["num_perm"],
                            num_bands=p["num_bands"], seed=p["seed"],
-                           sig_mode="grouped")
+                           sig_mode="grouped", shingles=sh)
         return b.select(F.col(id_col).alias("doc_id"),
                         F.col("b.band").alias("band"),
                         F.col("b.bucket").alias("bucket"))
@@ -280,10 +290,12 @@ class NeardupIndex:
                 texts = texts.unionByName(old_txt.select(
                     F.col(id_col).alias("doc_id"),
                     F.col(text_col).alias("_txt")))
+        vsh = (token_shingles(F.col("_txt"), verify_shingle_n)
+               if self.params.get("mode", "text") == "tokens" else None)
         verified = ngram_jaccard_pairs(
             texts, text_col="_txt", id_col="doc_id",
             shingle_n=verify_shingle_n, threshold=threshold,
-            candidates=pairs.select("id_a", "id_b"))
+            candidates=pairs.select("id_a", "id_b"), shingles=vsh)
         new_ids = batch.select(F.col(id_col).alias("node")).distinct()
         dropped = self._dropped_nodes(verified, new_ids)
         survivors = batch.join(

@@ -91,6 +91,18 @@ class JobConfig:
     # the derived-column path is unchanged. Choose at FIRST creation of
     # a warehouse — the target schema is pinned by it.
     tokens_codec: str = "array"
+    # persisted near-dup LSH index maintained in the ingest loop
+    # (VERDICT r5 next-step 1's "maintained like views" form): a
+    # NeardupIndex (mode="tokens") under this path — relative paths
+    # resolve against the warehouse — gains each epoch's live upserted
+    # documents' band rows right after the commit marker, so a
+    # downstream curation pass dedups a new batch against EVERYTHING
+    # ingested so far via point-pruned band-bucket reads instead of
+    # re-signaturing the corpus. Add-only and idempotent in effect: a
+    # replayed epoch re-appends the same (doc, band, bucket) rows,
+    # which widens band-buckets but cannot change any candidate PAIR
+    # set (pairs are distinct (id_a, id_b)). None disables.
+    neardup_index: str | None = None
 
 
 def apply_change_batch(spark: SparkSession, target: LakeTable, events,
@@ -199,6 +211,15 @@ class IngestJob:
         from .lake.view import MaterializedView
         self.views = [MaterializedView(os.path.join(wh, name))
                       for name in cfg.views]
+        self.ndx = None
+        if cfg.neardup_index:
+            from .functions.neardup_index import NeardupIndex
+            npath = cfg.neardup_index if os.path.isabs(cfg.neardup_index) \
+                else os.path.join(wh, cfg.neardup_index)
+            self.ndx = (NeardupIndex(npath) if NeardupIndex.exists(npath)
+                        else NeardupIndex.create(
+                            npath, id_type="string", mode="tokens",
+                            num_buckets=max(cfg.num_buckets, 32)))
 
     # ------------------------------------------------- shuffle right-sizing
     # Target ON-DISK bytes per shuffle partition. Shuffle partition count
@@ -431,6 +452,19 @@ class IngestJob:
                 and self._epochs_done % self.cfg.view_refresh_every == 0:
             for mv in self.views:
                 mv.refresh(self.spark)
+        # ingest-loop near-dup index maintenance (same contract as the
+        # views above): append the epoch's live upserted documents' band
+        # rows — O(epoch docs), never a corpus rescan. Safe after the
+        # marker: add-only, and a crash replay re-appends identical
+        # (doc, band, bucket) rows, which cannot change candidate pairs.
+        if self.ndx is not None:
+            live = dedup_lww(project_base(events), key_cols=("doc_id",),
+                             order_cols=("seq", "pos"),
+                             first_seq_col="seq") \
+                .filter((~F.col("deleted"))
+                        & F.col("tokens").isNotNull()) \
+                .select("doc_id", "tokens")
+            self.ndx.add(self.spark, live, text_col="tokens")
         # snapshot + orphan hygiene on its own cadence: expiry bounds the
         # _meta dir (manifest-per-commit otherwise grows without limit and
         # every refresh lists it) and releases data files only dropped

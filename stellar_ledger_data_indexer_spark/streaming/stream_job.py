@@ -54,7 +54,8 @@ def stream_replay(spark: SparkSession, events_path: str, target: LakeTable,
                   gauges_path: str | None = None,
                   views: list | None = None,
                   view_refresh_every: int = 1,
-                  tokens_codec: str = "array"):
+                  tokens_codec: str = "array",
+                  neardup_index=None):
     """Start a streaming replay into ``target``. Returns the
     StreamingQuery; callers drive it with processAllAvailable()/stop()
     (tests) or awaitTermination() (production tail).
@@ -124,6 +125,19 @@ def stream_replay(spark: SparkSession, events_path: str, target: LakeTable,
             batch = spec.dedup(spec.project(batch_df))
             merge_upsert_generic(batch_df.sparkSession, tbl, batch,
                                  spec.key_col, mor=mor)
+        if neardup_index is not None:
+            from pyspark.sql import functions as FF
+
+            from ..operators.cdc import project_base
+            from ..operators.dedup import dedup_lww
+            live = dedup_lww(project_base(batch_df), key_cols=("doc_id",),
+                             order_cols=("seq", "pos"),
+                             first_seq_col="seq") \
+                .filter((~FF.col("deleted"))
+                        & FF.col("tokens").isNotNull()) \
+                .select("doc_id", "tokens")
+            neardup_index.add(batch_df.sparkSession, live,
+                              text_col="tokens")
         if mor:
             for tbl in (target, *(t for _s, t in (extra_datasets or []))):
                 if tbl.delta_depth() >= compact_every:
