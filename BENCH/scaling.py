@@ -274,7 +274,8 @@ def main() -> int:
         }
         md_block = (
             "\n## Per-stage replay decomposition (same input, two "
-            f"parallelism levels, codec={args.codec})\n\n"
+            f"parallelism levels, codec={args.codec}, "
+            f"tokens_codec={args.tokens_codec})\n\n"
             f"| stage | local[{args.n}] | local[{args.n * 4}] | naive "
             "eff | same-day burn ceiling |\n|---|---|---|---|---|\n"
             f"| scan+project (no shuffle) | {lo['scan_project_sec']} s | "

@@ -283,6 +283,10 @@ def main() -> int:
         # together date-stamp the climate the walls were taken in
         climate = {"start": climate_probe(par)}
         replay = bench_replay(spark, n_events, work, par)
+        # the replay's volume-aware epochs mutate the session's
+        # spark.sql.shuffle.partitions; restore the bench conf so the
+        # catalog phase runs under the same plan shapes every round
+        spark.conf.set("spark.sql.shuffle.partitions", str(par * 2))
         replay_only = os.environ.get("SLDI_BENCH_REPLAY_ONLY")
         queries, queries_reps = ({}, {}) if replay_only \
             else bench_queries(spark)
