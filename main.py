@@ -346,6 +346,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="append survivors' band rows to the index "
                          "(the grow-the-index ingest-loop shape)")
     nd.add_argument("--master", default=None)
+    nx = sub.add_parser(
+        "neardup-compact",
+        help="fold over-fragmented index buckets (one file each) and "
+             "drop duplicate band rows — O(oversized buckets), not "
+             "O(index); runs automatically on the ingest hygiene "
+             "cadence when --neardup-index is set")
+    nx.add_argument("--index", required=True)
+    nx.add_argument("--max-files-per-bucket", type=int, default=8)
+    nx.add_argument("--master", default=None)
     for verb, hlp in (
             ("compact", "fold merge-on-read deltas / coalesce small files "
                         "per bucket (Spark job; state unchanged)"),
@@ -1095,6 +1104,11 @@ def cmd_neardup(args: argparse.Namespace) -> int:
     idx = NeardupIndex(args.index)
     spark = get_spark(app=f"sldi-{args.cmd}", master=args.master)
     try:
+        if args.cmd == "neardup-compact":
+            res = idx.compact(spark,
+                              max_files_per_bucket=args.max_files_per_bucket)
+            print(json.dumps({"status": "done", **res}))
+            return 0
         if args.cmd == "neardup-add":
             v = idx.add(spark, _load_docs(spark, args.docs),
                         text_col=args.text_col, id_col=args.id_col)

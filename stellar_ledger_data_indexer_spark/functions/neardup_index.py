@@ -133,6 +133,36 @@ class NeardupIndex:
         t = self.table.refresh()
         return t.append(rows, summary={"op": "neardup-index-add"})
 
+    # -------------------------------------------------------- maintenance
+    def compact(self, spark: SparkSession,
+                max_files_per_bucket: int = 8) -> dict:
+        """Bucket-selective compaction for the ingest-loop index: every
+        epoch's ``add`` appends one file per touched physical bucket, so
+        a long run fragments the index (10^6 epochs → 10^6 files/bucket
+        unchecked — the same accretion LakeTable.compact exists for, but
+        a FULL index rewrite per sweep would be O(corpus) where the
+        fragmentation is O(epochs)). Only buckets holding more than
+        ``max_files_per_bucket`` files are folded, each into one file,
+        and duplicate (bucket, band, doc_id) rows are dropped on the way
+        — crash-replayed epochs re-append identical band rows, which are
+        harmless for candidate pairs but dead weight on disk. Cost is
+        O(rows in oversized buckets), not O(index)."""
+        from ..lake.table import BUCKET_COL
+        t = self.table.refresh()
+        per_bucket: dict[int, int] = {}
+        for f in t.files:
+            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+        bs = sorted(b for b, n in per_bucket.items()
+                    if n > max_files_per_bucket)
+        if not bs:
+            return {"compacted_buckets": 0}
+        df = (t.read(spark, buckets=bs)
+              .dropDuplicates(["bucket", "band", "doc_id"])
+              .withColumn(BUCKET_COL, t.bucket_expr()))
+        t.overwrite_buckets(df, bs, summary={"op": "neardup-index-compact"})
+        return {"compacted_buckets": len(bs),
+                "files_before": sum(per_bucket[b] for b in bs)}
+
     # -------------------------------------------------------------- probe
     def candidate_pairs(self, spark: SparkSession,
                         batch: DataFrame | None = None,

@@ -474,9 +474,16 @@ class IngestJob:
         if (self.cfg.expire_every > 0
                 and self._epochs_done % self.cfg.expire_every == 0):
             for tbl in (self.target, *self.extra_tables.values(),
-                        *(mv.table for mv in self.views)):
+                        *(mv.table for mv in self.views),
+                        *((self.ndx.table,) if self.ndx is not None
+                          else ())):
                 tbl.expire_snapshots(keep_last=self.cfg.expire_keep_last)
                 tbl.remove_orphans(self.cfg.orphan_age_secs)
+            # the index appends one file per touched bucket per epoch;
+            # fold over-fragmented buckets (and crash-replay duplicate
+            # band rows) on the same cadence — O(oversized buckets)
+            if self.ndx is not None:
+                self.ndx.compact(self.spark)
         # control-table hygiene: fold per-epoch one-file appends once they
         # accrete (keeps watermark checks O(64) files at 10^6 epochs)
         for log in (self.checkpoints, self.lineage, self.metrics):

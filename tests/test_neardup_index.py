@@ -235,3 +235,114 @@ def test_ingest_loop_maintains_index(spark, tmp_path):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (victim["doc_id"], "probe1") in got \
         or ("probe1", victim["doc_id"]) in got
+
+
+def test_index_compact_folds_fragments_and_duplicates(spark, tmp_path,
+                                                      corpus_rows):
+    """Bucket-selective compaction: per-epoch adds fragment the index
+    (one file per touched bucket per add) and crash replays duplicate
+    band rows; compact folds only over-fragmented buckets to one file
+    each, drops exact duplicate rows, and leaves candidate pairs
+    unchanged."""
+    idx = NeardupIndex.create(str(tmp_path / "cnd"), num_buckets=4,
+                              shingle_n=2)
+    docs = spark.createDataFrame(corpus_rows, DOC_SCHEMA)
+    for _ in range(3):
+        idx.add(spark, docs)            # replayed adds -> duplicates
+    for g in range(6):
+        idx.add(spark, spark.createDataFrame(
+            [(50 + g * 10 + i, _sentence(50 + g * 10 + i))
+             for i in range(3)], DOC_SCHEMA))
+    t = idx.table.refresh()
+    rows_before = t.read(spark).count()
+    files_before = len(t.files)
+    batch = spark.createDataFrame([(900, _twin(corpus_rows[2][1]))],
+                                  DOC_SCHEMA)
+    pairs_before = {(r["id_a"], r["id_b"]) for r in
+                    idx.candidate_pairs(spark, batch).collect()}
+    res = idx.compact(spark, max_files_per_bucket=2)
+    assert res["compacted_buckets"] > 0
+    t2 = idx.table.refresh()
+    assert len(t2.files) < files_before
+    rows_after = t2.read(spark).count()
+    assert rows_after < rows_before      # triplicate corpus rows folded
+    dups = (t2.read(spark).groupBy("bucket", "band", "doc_id")
+            .count().filter("count > 1").count())
+    assert dups == 0
+    pairs_after = {(r["id_a"], r["id_b"]) for r in
+                   idx.candidate_pairs(spark, batch).collect()}
+    assert pairs_after == pairs_before and (2, 900) in pairs_after
+    # idempotent: a second sweep finds nothing over the bound
+    assert idx.compact(spark, max_files_per_bucket=2) \
+        == {"compacted_buckets": 0}
+
+
+def test_neardup_cli_verbs_roundtrip(spark, tmp_path):
+    """The CLI surface end-to-end in a subprocess: create -> add ->
+    dedup (survivors parquet + --add-survivors) -> compact."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    corpus = [(i, _sentence(i)) for i in range(8)]
+    batch = [(100, _twin(corpus[3][1])), (101, _sentence(77))]
+    spark.createDataFrame(corpus, DOC_SCHEMA).write.mode("overwrite") \
+        .parquet(str(tmp_path / "corpus"))
+    spark.createDataFrame(batch, DOC_SCHEMA).write.mode("overwrite") \
+        .parquet(str(tmp_path / "batch"))
+    env = None
+    repo = "/root/repo"
+
+    def run(*args):
+        out = subprocess.run(
+            [_sys.executable, "main.py", *args], cwd=repo, env=env,
+            capture_output=True, text=True, timeout=600)
+        assert out.returncode == 0, out.stderr[-2000:]
+        return _json.loads(out.stdout.strip().splitlines()[-1])
+    idxp = str(tmp_path / "idx")
+    r = run("neardup-create", "--index", idxp, "--shingle-n", "2",
+            "--num-buckets", "8")
+    assert r["status"] == "created" and r["mode"] == "text"
+    r = run("neardup-add", "--index", idxp,
+            "--docs", str(tmp_path / "corpus"), "--master", "local[4]")
+    assert r["status"] == "added"
+    r = run("neardup-dedup", "--index", idxp,
+            "--batch", str(tmp_path / "batch"),
+            "--corpus", str(tmp_path / "corpus"),
+            "--out", str(tmp_path / "surv"), "--add-survivors",
+            "--master", "local[4]")
+    assert r["n_batch"] == 2 and r["n_dropped"] == 1 \
+        and r["n_survivors"] == 1
+    surv = spark.read.parquet(str(tmp_path / "surv"))
+    assert [x["doc_id"] for x in surv.collect()] == [101]
+    r = run("neardup-compact", "--index", idxp,
+            "--max-files-per-bucket", "1", "--master", "local[4]")
+    assert r["status"] == "done"
+
+
+def test_stream_maintains_index(spark, tmp_path):
+    """The streaming sink mirrors the batch loop: `stream
+    --neardup-index` appends band rows per micro-batch."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    repo = "/root/repo"
+
+    def run(*args):
+        out = subprocess.run(
+            [_sys.executable, "main.py", *args], cwd=repo,
+            capture_output=True, text=True, timeout=900)
+        assert out.returncode == 0, out.stderr[-2000:]
+        return _json.loads(out.stdout.strip().splitlines()[-1])
+    ev, wh = str(tmp_path / "events"), str(tmp_path / "wh")
+    run("append", "--synthesize", "8000", "--events-path", ev,
+        "--warehouse", str(tmp_path / "wh-seed"), "--start", "999999",
+        "--end", "999999", "--master", "local[4]")
+    r = run("stream", "--events-path", ev, "--warehouse", wh,
+            "--neardup-index", "ndx", "--max-files-per-trigger", "4",
+            "--master", "local[4]")
+    assert r["status"] == "done" and r["target_rows"] > 0
+    idx = NeardupIndex(str(tmp_path / "wh" / "ndx"))
+    assert idx.params["mode"] == "tokens"
+    t = idx.table.refresh()
+    n = t.read(spark).count()
+    assert n >= r["target_rows"] * idx.params["num_bands"] * 0.5
