@@ -1697,3 +1697,36 @@ def stratified_sample_docs(spark, sf):
             .when(F.col("lang") == "de", 125)
             .otherwise(60))
     return d.filter(h < keep).select("doc_id", "lang")
+
+
+@_q("freq_items_lang", """
+WITH c AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT SUM(n) AS tot FROM c)
+SELECT lang, TRUE AS covered_ok
+FROM c, t WHERE n * 20 > tot
+ORDER BY lang
+""")
+def freq_items_lang(spark, sf):
+    """Heavy hitters via the frequent-items sketch — the third member
+    of the approximate-aggregate family (quantile sketch, HLL, and now
+    misra-gries-style frequent items). ``DataFrame.freqItems`` is a
+    one-pass mergeable sketch whose guarantee is a SUPERSET: every item
+    with frequency > support is returned (plus possible false
+    positives), so the oracle-checkable statement is coverage — each
+    exactly-qualifying language (count > 5% of the corpus, computed
+    exactly on both engines) must appear in the sketch output, pinned
+    per row as ``covered_ok``. The sketch side is a bounded driver
+    collect (≤ 1/support items); the exact side is one grouped count.
+    At 100 TB the sketch is the only one-pass heavy-hitters form — no
+    full-key-set shuffle, fixed memory per partition."""
+    d = _t(spark, sf, "documents")
+    freq = set(d.freqItems(["lang"], support=0.05)
+               .collect()[0]["lang_freqItems"])
+    c = d.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").alias("tot"))
+    return (c.crossJoin(F.broadcast(tot))
+            .filter(F.col("n") * 20 > F.col("tot"))
+            .select("lang", F.col("lang").isin(list(freq) or [""])
+                    .alias("covered_ok"))
+            .orderBy("lang"))
