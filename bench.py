@@ -33,7 +33,8 @@ QUERY_NAMES = [
     "enum_normalize", "ts_convert", "enrich_monotonic", "agg_counts",
     "b64_serialize", "topics_serialize", "i128_decimal_sum",
     "join_agg_shuffle", "broadcast_dim_join", "topn_orders",
-    "rollup_pricing", "cube_returns_status", "topk_per_group",
+    "rollup_pricing", "cube_returns_status", "pivot_returns_by_status",
+    "ntile_customer_quartiles", "topk_per_group",
     "anti_join_unordered_parts",
     "semi_join_heavy_parts", "distinct_agg_supplier",
     "running_total_orders", "lag_gap_events", "sessionize_events",

@@ -1730,3 +1730,57 @@ def freq_items_lang(spark, sf):
             .select("lang", F.col("lang").isin(list(freq) or [""])
                     .alias("covered_ok"))
             .orderBy("lang"))
+
+
+@_q("pivot_returns_by_status", """
+SELECT l_returnflag,
+       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END),
+                     0) AS BIGINT) AS qty_F,
+       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END),
+                     0) AS BIGINT) AS qty_O
+FROM lineitem GROUP BY l_returnflag
+""")
+def pivot_returns_by_status(spark, sf):
+    """PIVOT — long-to-wide reshape as a first-class relational verb:
+    quantity totals per return flag spread across line-status columns.
+    Spark plans ``groupBy().pivot(values).agg()`` as ONE aggregation
+    with conditional branches per pivot value (no extra shuffle vs the
+    plain group-by — the pivot value list is supplied, so no
+    distinct-scan pre-pass either); the oracle is the equivalent
+    conditional aggregation, integer-exact."""
+    li = _t(spark, sf, "lineitem")
+    p = (li.groupBy("l_returnflag")
+         .pivot("l_linestatus", ["F", "O"])
+         .agg(F.sum("l_quantity")))
+    return p.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("qty_F"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("qty_O"))
+
+
+@_q("ntile_customer_quartiles", """
+WITH q AS (
+  SELECT c_nationkey, c_custkey,
+         ntile(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey) AS quartile
+  FROM customer)
+SELECT c_nationkey, quartile,
+       COUNT(*) AS n, MIN(c_custkey) AS min_cust
+FROM q GROUP BY c_nationkey, quartile
+""")
+def ntile_customer_quartiles(spark, sf):
+    """NTILE bucketing — the rank-family window operator the catalog
+    lacked (row_number/lag/sum-over covered elsewhere): account-balance
+    quartiles per nation with a fully deterministic order (balance
+    DESC, custkey tie-break — ntile is order-sensitive, so the
+    tie-break is the whole oracle-parity story). Summarized per
+    (nation, quartile) so the result stays small at any scale; one
+    hash exchange feeds both the window sort and the final agg."""
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey"))
+    q = c.select("c_nationkey", "c_custkey",
+                 F.ntile(4).over(w).alias("quartile"))
+    return (q.groupBy("c_nationkey", "quartile")
+            .agg(F.count("*").alias("n"),
+                 F.min("c_custkey").alias("min_cust")))
