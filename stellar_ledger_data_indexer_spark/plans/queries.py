@@ -1493,7 +1493,11 @@ def incremental_neardup(spark, sf):
     bb = (banded.filter(F.col("doc_id") >= 1000000)
           .select("doc_id", F.col("b.band").alias("band"),
                   F.col("b.bucket").alias("bucket")))
-    pairs = idx.candidate_pairs(spark, batch_banded=bb)
+    # max_bucket=None: twin band-buckets are ≤2 wide by construction, so
+    # the megabucket cap's count+anti-join stages are pure overhead here;
+    # the cap path stays exercised by minhash_lsh_verified and the
+    # NeardupIndex tests (same precedent as minhash_pairs)
+    pairs = idx.candidate_pairs(spark, batch_banded=bb, max_bucket=None)
     cross = (pairs.filter(~F.col("a_new") & F.col("b_new"))
              .select("id_a", "id_b"))
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
