@@ -342,6 +342,10 @@ def build_parser() -> argparse.ArgumentParser:
     nd.add_argument("--id-col", default="doc_id")
     nd.add_argument("--out", default=None,
                     help="write survivors to this parquet path")
+    nd.add_argument("--dropped-out", default=None,
+                    help="write the drop-provenance map (doc_id, "
+                         "canonical_id it duplicated) to this parquet "
+                         "path — the auditable record of every drop")
     nd.add_argument("--add-survivors", action="store_true",
                     help="append survivors' band rows to the index "
                          "(the grow-the-index ingest-loop shape)")
@@ -1126,11 +1130,16 @@ def cmd_neardup(args: argparse.Namespace) -> int:
             threshold=args.threshold, add_survivors=args.add_survivors)
         if args.out:
             res["survivors"].write.mode("overwrite").parquet(args.out)
+        if args.dropped_out:
+            res["dropped"].write.mode("overwrite") \
+                .parquet(args.dropped_out)
         print(json.dumps({"status": "done", "n_batch": res["n_batch"],
                           "n_dropped": res["n_dropped"],
                           "n_survivors": res["n_batch"] - res["n_dropped"],
                           "probe": res["probe"],
-                          **({"out": args.out} if args.out else {})}))
+                          **({"out": args.out} if args.out else {}),
+                          **({"dropped_out": args.dropped_out}
+                             if args.dropped_out else {})}))
         return 0
     finally:
         spark.stop()

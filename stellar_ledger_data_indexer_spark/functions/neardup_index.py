@@ -263,7 +263,12 @@ class NeardupIndex:
                     add_survivors: bool = False) -> dict:
         """Incremental near-dup dedup of one ingest batch against the
         indexed corpus (and itself). Returns ``{"survivors": DataFrame,
-        "n_batch", "n_dropped", "probe"}``.
+        "dropped": DataFrame, "n_batch", "n_dropped", "probe"}`` —
+        ``dropped`` is the provenance map (doc_id, canonical_id): each
+        dropped batch doc with the id it duplicated (the minimum id of
+        its verified near-dup component — a corpus id when the cluster
+        touches the accepted set, the surviving batch id otherwise),
+        the record a curation pipeline keeps so drops are auditable.
 
         ``corpus_docs`` supplies text for candidate corpus documents at
         verify time: a DataFrame of (id, text), or a LakeTable bucketed
@@ -334,14 +339,21 @@ class NeardupIndex:
         pairs.unpersist()
         if add_survivors:
             self.add(spark, survivors, text_col=text_col, id_col=id_col)
-        return {"survivors": survivors, "n_batch": n_batch,
+        return {"survivors": survivors,
+                "dropped": dropped.select(
+                    F.col("node").alias(id_col),
+                    F.col("canonical_id")),
+                "n_batch": n_batch,
                 "n_dropped": n_dropped, "probe": self.last_probe}
 
     @staticmethod
     def _dropped_nodes(verified: DataFrame, new_ids: DataFrame) -> DataFrame:
-        """Batch nodes to drop given verified edges: members of any
+        """Batch nodes to drop given verified edges — members of any
         component containing a corpus node, plus non-min members of
-        batch-only components."""
+        batch-only components — each with its ``canonical_id`` (the
+        component's min id: the kept document this one duplicates;
+        component labels ARE min ids by connected_components'
+        convention, so no extra aggregation is needed)."""
         comp = connected_components(verified, max_iter=20)
         lab = comp.join(F.broadcast(
             new_ids.withColumn("_new", F.lit(True))), "node", "left") \
@@ -353,7 +365,8 @@ class NeardupIndex:
         out = (lab.filter(F.col("_new")).join(per_comp, "component")
                .filter((F.col("has_old") == 1)
                        | (F.col("node") != F.col("min_new")))
-               .select("node").persist())
+               .select("node", F.col("component").alias("canonical_id"))
+               .persist())
         out.count()
         comp.unpersist()
         return out

@@ -1692,7 +1692,11 @@ def stratified_sample_docs(spark, sf):
     ``sampleBy`` cannot be oracled and is not reproducible across
     partition layouts). The same predicate at 100 TB is a pushed-down
     scan filter: no shuffle, no state, and re-running the mix yields
-    byte-identical membership."""
+    byte-identical membership. Domain note: the int64 product caps the
+    oracle-exact form at ids < 2^63 / 2654435761 ≈ 3.4e9 (Spark would
+    wrap silently past it, DuckDB would error); beyond that the
+    production form is ``pmod(xxhash64(id), 1000) < w`` — same shape,
+    JVM-native, deterministic, just not DuckDB-reproducible."""
     d = _t(spark, sf, "documents")
     h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) \
         % F.lit(1000)

@@ -74,6 +74,10 @@ def test_dedup_batch_drops_corpus_and_inbatch_dups(spark, tmp_path,
     got = sorted(r["doc_id"] for r in res["survivors"].collect())
     assert got == [101, 102]
     assert res["n_batch"] == 4 and res["n_dropped"] == 2
+    # drop provenance: each dropped doc maps to the kept canonical
+    prov = {r["doc_id"]: r["canonical_id"]
+            for r in res["dropped"].collect()}
+    assert prov == {100: 3, 103: 102}
     # the probe went through the point-lookup pruner (strict-subset file
     # asserts live in test_probe_reads_only_hit_band_buckets, where the
     # bucket count is sized to make subsetting deterministic — 4 docs ×
@@ -308,12 +312,15 @@ def test_neardup_cli_verbs_roundtrip(spark, tmp_path):
     r = run("neardup-dedup", "--index", idxp,
             "--batch", str(tmp_path / "batch"),
             "--corpus", str(tmp_path / "corpus"),
-            "--out", str(tmp_path / "surv"), "--add-survivors",
-            "--master", "local[4]")
+            "--out", str(tmp_path / "surv"),
+            "--dropped-out", str(tmp_path / "dropped"),
+            "--add-survivors", "--master", "local[4]")
     assert r["n_batch"] == 2 and r["n_dropped"] == 1 \
         and r["n_survivors"] == 1
     surv = spark.read.parquet(str(tmp_path / "surv"))
     assert [x["doc_id"] for x in surv.collect()] == [101]
+    prov = spark.read.parquet(str(tmp_path / "dropped")).collect()
+    assert [(x["doc_id"], x["canonical_id"]) for x in prov] == [(100, 3)]
     r = run("neardup-compact", "--index", idxp,
             "--max-files-per-bucket", "1", "--master", "local[4]")
     assert r["status"] == "done"
