@@ -45,7 +45,7 @@ QUERY_NAMES = [
     "ngram_jaccard_pairs", "embedding_neardup", "cosine_knn",
     "minhash_pairs", "simhash_signatures",
     "quantile_thresholds", "approx_distinct_customers",
-    "freq_items_lang", "stratified_sample_docs",
+    "freq_items_lang", "stratified_sample_docs", "training_mix_order",
     "minhash_lsh_verified", "incremental_neardup",
     "simhash_neardup_recall", "cosine_lsh_recall",
     "cosine_ivf_recall", "cosine_ivf_trained_recall",

@@ -1792,3 +1792,47 @@ def ntile_customer_quartiles(spark, sf):
     return (q.groupBy("c_nationkey", "quartile")
             .agg(F.count("*").alias("n"),
                  F.min("c_custkey").alias("min_cust")))
+
+
+@_q("training_mix_order", """
+WITH w AS (
+  SELECT doc_id, lang,
+         (doc_id * 2654435761) % 4294967296 % 1000 AS h,
+         CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 250
+                   WHEN 'de' THEN 125 ELSE 60 END AS keep
+  FROM documents),
+s AS (SELECT doc_id, lang,
+             ((doc_id + 988041) * 2654435761) % 4294967296 AS shuf
+      FROM w WHERE h < keep)
+SELECT ROW_NUMBER() OVER (ORDER BY shuf, doc_id) AS pos, doc_id, lang
+FROM s
+""")
+def training_mix_order(spark, sf):
+    """Deterministic training-data shuffle — the step between mixture
+    sampling and sequence packing: the stratified sample
+    (stratified_sample_docs' hash threshold) is laid out in a
+    pseudo-random but fully REPRODUCIBLE order by a second, offset
+    multiplicative hash (offset 988041 decorrelates it from the
+    sampling hash; same integer arithmetic both engines evaluate
+    identically, so DuckDB value-oracles the exact positions).
+    ``ORDER BY random()`` is neither reproducible nor resumable;
+    hash-order is both — re-running the mix yields byte-identical epoch
+    order, and a restarted packing job can seek to position N. At
+    100 TB the global row_number is the one genuinely serial artifact —
+    a real run keeps (shuf, doc_id) as the SORT KEY and lets range
+    partitioning order the output without materializing positions; the
+    explicit pos here is the bounded-test form that lets the oracle
+    pin the full permutation."""
+    d = _t(spark, sf, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) \
+        % F.lit(1000)
+    keep = (F.when(F.col("lang") == "en", 500)
+            .when(F.col("lang") == "fr", 250)
+            .when(F.col("lang") == "de", 125)
+            .otherwise(60))
+    shuf = ((F.col("doc_id") + F.lit(988041)) * F.lit(2654435761)) \
+        % F.lit(4294967296)
+    s = d.filter(h < keep).select("doc_id", "lang", shuf.alias("shuf"))
+    w = Window.orderBy("shuf", "doc_id")
+    return s.select(F.row_number().over(w).alias("pos"),
+                    "doc_id", "lang")
