@@ -52,7 +52,7 @@ LAYERED = {
     # varint — packed-binary forms cut bytes through the dedup shuffle
     # and the merge write (the measured non-scaling stage); pick at
     # first creation of a warehouse, consumers decode via decode_tokens
-    "tokens_codec": (str, "array"),
+    "tokens_codec": (str, "auto"),
     # ingest-loop near-dup LSH index (functions/neardup_index.py,
     # mode=tokens): path (warehouse-relative ok) of a NeardupIndex that
     # gains each epoch's live documents' band rows after the commit
@@ -110,13 +110,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated materialized views (created via "
                          "view-create) refreshed inside the ingest loop "
                          "after each epoch's commit")
-    ap.add_argument("--tokens-codec", choices=("array", "u16", "varint"),
+    ap.add_argument("--tokens-codec", choices=("auto", "array", "u16", "varint"),
                     default=None,
-                    help="target token payload: array (default) or a "
+                    help="target token payload: auto (default — an "
+                         "existing warehouse's pinned codec, else u16 "
+                         "when the source's parquet stats prove the "
+                         "vocabulary fits 16 bits), array, or a "
                          "packed-binary codec (u16 = 2 B/token for "
                          "vocabularies <= 65535, varint = LEB128) — "
                          "fewer bytes through shuffle + merge write; "
-                         "set at first creation of a warehouse")
+                         "resolved and pinned at first creation of a "
+                         "warehouse")
     ap.add_argument("--neardup-index", default=None,
                     help="maintain a near-dup LSH index (mode=tokens) at "
                          "this path in the ingest loop: each epoch's live "
@@ -178,7 +182,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="materialized views refreshed per micro-batch "
                          "(comma-separated view-create'd tables)")
     sp.add_argument("--view-refresh-every", type=int, default=None)
-    sp.add_argument("--tokens-codec", choices=("array", "u16", "varint"),
+    sp.add_argument("--tokens-codec", choices=("auto", "array", "u16", "varint"),
                     default=None)
     sp.add_argument("--neardup-index", default=None)
     sp.add_argument("--master", default=None)
@@ -596,6 +600,14 @@ def cmd_read(args: argparse.Namespace) -> int:
         snap_read = (args.snapshot if args.snapshot is not None
                      else t.snapshot_as_of(as_of) if as_of is not None
                      else t.version)
+        # packed token payloads (tokens_codec property) decode back to
+        # the logical array<int> surface for CLI consumers
+        codec = t.properties.get("tokens_codec", "array")
+        if codec != "array" and "tokens" in df.columns:
+            from stellar_ledger_data_indexer_spark.functions.token_codec \
+                import decode_tokens
+            df = df.withColumn("tokens",
+                               decode_tokens(F.col("tokens"), codec))
         if args.where:
             df = df.filter(args.where)
         if args.columns:

@@ -53,23 +53,32 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                       F.least("src", "nbr").alias("component"))
               .persist())
     labels.count()   # materialize round 0
+    from pyspark.sql import Observation
     for _ in range(max_iter):
         # neighbor's current label, folded with own: new = min(own
-        # label, min over neighbors of their label)
+        # label, min over neighbors of their label). The changed-label
+        # count rides the SAME action as the materialization via an
+        # Observation (r7): the old shape re-joined new vs old labels
+        # and ran a second count action per round — one extra join +
+        # job per round for a scalar the fold already knows.
         nbr_lbl = (sym.join(labels.withColumnRenamed("node", "dst"), "dst")
                    .groupBy("src").agg(F.min("component").alias("nbr_min")))
+        obs = Observation()
         new_labels = (labels.join(nbr_lbl,
                                   labels.node == nbr_lbl.src, "left")
                       .select(F.col("node"),
                               F.least(F.col("component"),
                                       F.coalesce(F.col("nbr_min"),
                                                  F.col("component")))
-                              .alias("component"))
+                              .alias("component"),
+                              F.col("component").alias("_old"))
+                      .observe(obs,
+                               F.sum((F.col("component") != F.col("_old"))
+                                     .cast("long")).alias("chg"))
+                      .drop("_old")
                       .persist())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .count())
+        new_labels.count()   # materialize round k (collects obs too)
+        changed = int(obs.get["chg"] or 0)
         labels.unpersist()
         labels = new_labels
         if changed == 0:

@@ -76,6 +76,30 @@ def _lit_vec(v) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
 
+def cosine_to_query_batch(query):
+    """Arrow-batched cosine against ONE fixed query vector: a matvec per
+    batch (r7, guide §4.2). The JVM ``cosine`` expression this replaces
+    in the top-k scorers is an interpreted zip_with/aggregate fold —
+    fine per row, but a scan scoring 10^4+ rows pays the interpreter per
+    element; here the query ships once in the closure and each batch is
+    one ``m @ q``. Same contract as ``cosine``: zero-norm rows score
+    0.0, null/ragged rows score null (the JVM form yields null for null
+    arrays; ragged rows cannot dot a fixed query either way)."""
+    qv = np.asarray(query, dtype="float64")
+    qn = float(np.linalg.norm(qv))
+
+    @pandas_udf(T.DoubleType())
+    def score(vec: pd.Series) -> pd.Series:
+        m, valid = _stack_rows(vec.to_numpy(), len(qv))
+        dots = m @ qv
+        den = np.linalg.norm(m, axis=1) * qn
+        vals = np.where(den > 0, dots / np.where(den == 0, 1, den), 0.0)
+        out = np.full(len(valid), None, dtype=object)
+        out[valid] = vals
+        return pd.Series(out, dtype="Float64")
+    return score
+
+
 def _stack_rows(arrs, dim: int):
     """Stack an object array of embeddings into a (n_valid × dim) float64
     matrix, tolerating null and ragged rows: returns (matrix, valid_mask).
@@ -103,9 +127,9 @@ def cosine_topk(emb: DataFrame, query: list[float], k: int = 10,
                 vec_col: str = "embedding") -> DataFrame:
     """Brute-force top-k by cosine to a literal query vector; ties broken
     by id for determinism."""
-    q = _lit_vec(query)
     scored = emb.select(F.col(id_col),
-                        F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+                        F.round(cosine_to_query_batch(query)(F.col(vec_col)),
+                                6).alias("score"))
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
@@ -160,9 +184,9 @@ def cosine_topk_lsh(emb: DataFrame, query: list[float], k: int = 10,
     cand = emb.withColumn("_bkt", bucket).filter(
         F.bit_count(F.col("_bkt").bitwiseXOR(F.lit(qbits)))
         <= probe_hamming)
-    q = _lit_vec(query)
     return (cand.select(F.col(id_col),
-                        F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+                        F.round(cosine_to_query_batch(query)(F.col(vec_col)),
+                                6).alias("score"))
             .orderBy(F.desc("score"), F.col(id_col)).limit(k))
 
 
@@ -300,9 +324,9 @@ def cosine_topk_ivf(emb: DataFrame, query: list[float], k: int = 10,
     probe = sorted(range(len(cents)), key=lambda i: (-cos(cents[i]), i))[:n_probe]
     cell = ivf_assign(F.col(vec_col), cents)
     cand = emb.withColumn("_cell", cell).filter(F.col("_cell").isin(probe))
-    q = _lit_vec(query)
     return (cand.select(F.col(id_col),
-                        F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+                        F.round(cosine_to_query_batch(query)(F.col(vec_col)),
+                                6).alias("score"))
             .orderBy(F.desc("score"), F.col(id_col)).limit(k))
 
 
@@ -354,9 +378,9 @@ def search_ivf_index(spark, path: str, query: list[float], k: int = 10,
                    key=lambda i: (-cos(cents[i]), i))[:n_probe]
     cand = (spark.read.parquet(path)
             .filter(F.col("_cell").isin(probe)))
-    q = _lit_vec(query)
     return (cand.select(F.col(id_col),
-                        F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+                        F.round(cosine_to_query_batch(query)(F.col(vec_col)),
+                                6).alias("score"))
             .orderBy(F.desc("score"), F.col(id_col)).limit(k))
 
 

@@ -39,6 +39,52 @@ from pyspark.sql.functions import pandas_udf
 CODECS = ("array", "u16", "varint")
 
 
+def probe_u16_eligible(events_path: str, tokens_col: str = "tokens",
+                       max_files: int = 512) -> bool:
+    """Driver-side vocabulary probe for the ``auto`` codec default
+    (VERDICT r6 next-step 6): True iff every token id in the parquet
+    source provably fits u16, decided from FOOTER STATISTICS alone — the
+    leaf min/max of the tokens column across every row group of every
+    file. Parquet stats are exact bounds, so a True here can never meet
+    an out-of-range id later in THIS source; ids appended afterwards are
+    still guarded by the encoder's loud reject. Conservative everywhere
+    else: no stats, a non-parquet layout, an absent column, or more than
+    ``max_files`` files (the probe is O(files) driver work) → False →
+    the always-valid array codec."""
+    import os
+
+    import pyarrow.parquet as pq
+    files: list[str] = []
+    if not os.path.isdir(events_path):
+        return False
+    for root, _dirs, names in os.walk(events_path):
+        files += [os.path.join(root, n) for n in names
+                  if n.endswith(".parquet")]
+        if len(files) > max_files:
+            return False
+    if not files:
+        return False
+    prefix = tokens_col + "."
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = next((i for i in range(md.num_columns)
+                    if md.schema.column(i).path in (tokens_col,)
+                    or md.schema.column(i).path.startswith(prefix)), None)
+        if idx is None:
+            return False
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None:
+                return False
+            if not st.has_min_max:
+                if st.num_values == 0:   # all-null row group (tombstones)
+                    continue
+                return False
+            if st.min < 0 or st.max > 0xFFFF:
+                return False
+    return True
+
+
 def _flatten(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Object array of int lists → (flat int64, row offsets, null mask)."""
     isnull = np.fromiter((v is None for v in vals), dtype=bool,

@@ -88,9 +88,14 @@ class JobConfig:
     # bytes per token vs 4), encoded right after projection so the
     # dedup shuffle carries the packed form too. Consumers decode with
     # decode_tokens(col, codec); n_tok is derived before packing, so
-    # the derived-column path is unchanged. Choose at FIRST creation of
-    # a warehouse — the target schema is pinned by it.
-    tokens_codec: str = "array"
+    # the derived-column path is unchanged. "auto" (default; VERDICT r6
+    # next-step 6) resolves ONCE at job open: an existing warehouse's
+    # pinned tokens_codec property wins (drift cannot silently
+    # re-encode); a fresh warehouse probes the source's parquet footer
+    # stats and picks u16 when the whole vocabulary provably fits
+    # 16 bits (probe_u16_eligible), else array. The resolved codec is
+    # pinned in the table properties at creation.
+    tokens_codec: str = "auto"
     # persisted near-dup LSH index maintained in the ingest loop
     # (VERDICT r5 next-step 1's "maintained like views" form): a
     # NeardupIndex (mode="tokens") under this path — relative paths
@@ -108,7 +113,7 @@ class JobConfig:
 def apply_change_batch(spark: SparkSession, target: LakeTable, events,
                        salt_buckets: int = 0, strict_ops: bool = False,
                        fused: bool = True, mor: bool = False,
-                       enrich: bool = True, tokens_codec: str = "array"):
+                       enrich: bool = True, tokens_codec: str = "auto"):
     """The epoch body, reusable by the batch job and the streaming sink:
     base stage (project → LWW dedup → upsert merge), then enrichment
     stage — the fixed dataset order of the reference
@@ -123,7 +128,12 @@ def apply_change_batch(spark: SparkSession, target: LakeTable, events,
     enrichment events are unappliable then, exactly like the reference).
     """
     from .operators.merge import MergeResult, merge_upsert_and_enrich
+    from .schema import ENTRY_TOKENS, ENTRY_TTL
 
+    if tokens_codec == "auto":
+        # the target's pinned property is authoritative — a batch encoded
+        # differently from the bytes on disk can never merge
+        tokens_codec = target.properties.get("tokens_codec", "array")
     if strict_ops:
         events = validate_ops(events)
     has_enrich_col = enrich and "live_until" in {f.name for f
@@ -138,7 +148,20 @@ def apply_change_batch(spark: SparkSession, target: LakeTable, events,
                         salt_buckets=salt_buckets, first_seq_col="seq")
     if fused and has_enrich_col:
         cand = dedup_enrich_candidates(project_enrich(events))
-        res = merge_upsert_and_enrich(spark, target, deduped, cand, mor=mor)
+        # affected-bucket discovery on the RAW epoch, not the deduped
+        # batch (r7, guide §1.2/§2.4): the bucket set of the deduped
+        # batch equals the bucket set of its input keys, so one
+        # column-pruned scan of (entry_type, doc_id) answers it without
+        # materializing (and persisting) the dedup twice — the fused
+        # merge then references batch and candidates exactly once each.
+        keyed = events.filter(
+            F.col("entry_type").isin(ENTRY_TOKENS, ENTRY_TTL)
+            & F.col("doc_id").isNotNull() & (F.col("doc_id") != ""))
+        buckets = sorted(r["b"] for r in keyed.select(
+            target.bucket_expr(F.col("doc_id")).alias("b"))
+            .distinct().collect())
+        res = merge_upsert_and_enrich(spark, target, deduped, cand, mor=mor,
+                                      buckets=buckets)
         wall = now() - t0
         eres = MergeResult(version=res.version, updated=res.bumped,
                            buckets=res.buckets)
@@ -170,6 +193,19 @@ class IngestJob:
         self.cfg = cfg
         wh = cfg.warehouse
         tpath = os.path.join(wh, "documents")
+        # resolve the token codec ONCE at open (see JobConfig): an
+        # existing target's pinned property is authoritative — a config
+        # that disagrees with the bytes on disk must not win — else the
+        # "auto" default probes the source's footer stats for u16
+        # eligibility (driver-side, no Spark job).
+        codec = cfg.tokens_codec
+        if LakeTable.exists(tpath):
+            codec = LakeTable(tpath).properties.get("tokens_codec", "array")
+        elif codec == "auto":
+            from .functions.token_codec import probe_u16_eligible
+            codec = ("u16" if probe_u16_eligible(cfg.events_path)
+                     else "array")
+        self.tokens_codec = codec
         # auto-evolution on open ≙ embedded migrations at session open
         # (internal/db/utils.go:47-55): targets created before code-level
         # schema additions (e.g. the r2 `pos` LWW tie-break column) gain
@@ -177,7 +213,7 @@ class IngestJob:
         # deliberately excluded — tests/the golden suite create
         # enrichment-less targets on purpose (pre-20260203 parity).
         base_schema = TARGET
-        if cfg.tokens_codec != "array":
+        if codec != "array":
             base_schema = T.StructType(
                 [T.StructField(f.name, T.BinaryType(), f.nullable)
                  if f.name == "tokens" else f for f in TARGET.fields])
@@ -192,8 +228,8 @@ class IngestJob:
             tpath, pre_ttl if LakeTable.exists(tpath) else base_schema,
             bucket_col="doc_id", num_buckets=cfg.num_buckets,
             properties={"write_order": "source,-seq",
-                        **({"tokens_codec": cfg.tokens_codec}
-                           if cfg.tokens_codec != "array" else {})})
+                        **({"tokens_codec": codec}
+                           if codec != "array" else {})})
         # registered datasets in dependency order (≙ the ordered
         # processor list, internal/main.go:127-144); each "upsert"
         # dataset owns an independent bucketed table in the warehouse
@@ -390,7 +426,7 @@ class IngestJob:
             strict_ops=self.cfg.strict_ops,
             fused=self.cfg.fused_merge, mor=mor,
             enrich=any(s.kind == "enrich" for s in self.datasets),
-            tokens_codec=self.cfg.tokens_codec)
+            tokens_codec=self.tokens_codec)
         self.metrics.record(self.spark, epoch_id, "tokens", None, None,
                             mres.matched, mres.inserted, mres.updated,
                             base_wall, bytes_written=mres.bytes_written)

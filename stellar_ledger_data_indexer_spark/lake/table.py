@@ -518,6 +518,15 @@ class LakeTable:
         if not files:
             return spark.createDataFrame([], cur_schema)
         has_delta = any(f.kind == "delta" for f in files)
+        if has_delta and len({f.commit_seq for f in files}) == 1:
+            # single-commit fast path (r7): every commit — base rewrite
+            # or delta append — writes at most one row per key (merges
+            # dedup first), so a selection whose files all come from ONE
+            # commit is already resolved; the newest-commit-wins pass
+            # would be a full exchange + sort of the selection for
+            # nothing. The first epoch after a compaction (and the
+            # second epoch of a fresh table) reads through here.
+            has_delta = False
 
         def mapped(subset: list[DataFile], with_csq: bool) -> DataFrame:
             return self._project_files(spark, man, subset, with_csq,
@@ -828,11 +837,18 @@ class LakeTable:
         commit_id = f"commit-{uuid.uuid4().hex[:12]}"
         staging = os.path.join(self.path, DATA_DIR, commit_id)
         if partitioned:
-            # co-locate each bucket into (usually) one task before the
+            # co-locate each bucket into exactly one task before the
             # partitioned write: otherwise partitionBy opens one file per
             # (shuffle task × bucket) — a small-file explosion that grows
-            # with cluster size (file count, footer scans, later reads)
-            df = df.repartition(self.num_buckets, F.col(BUCKET_COL))
+            # with cluster size (file count, footer scans, later reads).
+            # 4× as many partitions as buckets (r7, guide §2.5): hashing
+            # N distinct bucket values into exactly N partitions leaves
+            # Murmur3 collisions piling 3-4 buckets on one task while
+            # ~1/e of the tasks run empty — the write stage then runs at
+            # a fraction of the cluster. With 4N partitions the max load
+            # is 1-2 buckets per task; files per commit stay ≤1 per
+            # bucket (each bucket still lands wholly in one task).
+            df = df.repartition(self.num_buckets * 4, F.col(BUCKET_COL))
         order = [(F.col(c) if asc else F.col(c).desc())
                  for c, asc in self.write_order if c in df.columns]
         if order:

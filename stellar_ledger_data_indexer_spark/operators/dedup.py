@@ -56,6 +56,20 @@ def dedup_lww(df: DataFrame, key_cols: Sequence[str] = ("doc_id",),
     appeared in the batch).
     """
     payload = F.struct(*[F.col(c) for c in df.columns])
+
+    def flatten(grouped: DataFrame) -> DataFrame:
+        # key columns come from the GROUP KEY attributes, not from the
+        # winning payload struct (values are identical by definition):
+        # `_row.*` would mint fresh attribute ids for the keys, hiding
+        # the aggregation's hash partitioning from the downstream merge
+        # join — which then re-exchanged the full deduped batch every
+        # epoch (r7; observed as an extra Exchange in the fused plan)
+        cols = [F.col(c) if c in key_cols else F.col(f"_row.{c}").alias(c)
+                for c in df.columns]
+        if first_seq_col:
+            cols.append(F.col("first_seq"))
+        return grouped.select(*cols)
+
     if salt_buckets > 1:
         salt = F.pmod(F.coalesce(F.col(order_cols[-1]), F.lit(0)),
                       F.lit(salt_buckets)).alias("_salt")
@@ -67,15 +81,11 @@ def dedup_lww(df: DataFrame, key_cols: Sequence[str] = ("doc_id",),
                           _ord(order_cols, "_row.")).alias("_row")]
         if first_seq_col:
             aggs2.append(F.min("first_seq").alias("first_seq"))
-        phase2 = phase1.groupBy(*key_cols).agg(*aggs2)
-        cols = ["_row.*"] + (["first_seq"] if first_seq_col else [])
-        return phase2.select(*cols)
+        return flatten(phase1.groupBy(*key_cols).agg(*aggs2))
     aggs = [F.max_by(payload, _ord(order_cols)).alias("_row")]
     if first_seq_col:
         aggs.append(F.min(first_seq_col).alias("first_seq"))
-    out = df.groupBy(*key_cols).agg(*aggs)
-    cols = ["_row.*"] + (["first_seq"] if first_seq_col else [])
-    return out.select(*cols)
+    return flatten(df.groupBy(*key_cols).agg(*aggs))
 
 
 def dedup_lww_window(df: DataFrame, key_cols: Sequence[str] = ("doc_id",),

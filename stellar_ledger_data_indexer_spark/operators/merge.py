@@ -28,11 +28,20 @@ is sliced into epochs. A delete for an unseen key inserts a tombstone row
 
 Scale notes (100 TB): the join shuffles both sides on doc_id (AQE may
 broadcast a small batch); the rewrite is bounded by |affected buckets| ×
-bucket size, not table size. The batch is persisted because it is used
-twice (bucket discovery + join). Cross-epoch idempotency comes from the
+bucket size, not table size. In the standalone merges the batch is
+persisted because it is used twice (bucket discovery + join); the fused
+path takes caller-derived buckets and references each input exactly once,
+so it persists nothing (r7). Cross-epoch idempotency comes from the
 strict ``b.seq > t.seq`` condition: re-applying a committed epoch changes
 nothing (equal seq loses), which is what makes crash-replay safe
 (≙ docs/devops.md:12's backfill-is-idempotent property).
+
+Key contract: merge keys are non-null (the nonce filter F2 drops empty
+identities at projection; registered datasets key on derived non-null
+ids). Join conditions are plain ``==`` — the null-safe form would wrap
+the keys in (coalesce, isnull) tuples and discard the child
+aggregations' hash partitioning, re-exchanging both full-width join
+sides every epoch (r7; guide §2.4).
 """
 
 from __future__ import annotations
@@ -138,7 +147,7 @@ def merge_upsert_lww(spark: SparkSession, table: LakeTable,
         def attempt() -> MergeResult:
             t = table.read(spark, buckets=buckets).alias("t")
             b = batch.alias("b")
-            j = t.join(b, F.col("t.doc_id").eqNullSafe(F.col("b.doc_id")),
+            j = t.join(b, F.col("t.doc_id") == F.col("b.doc_id"),
                        "right" if mor else "full_outer")
 
             b_wins = _b_wins()
@@ -229,7 +238,7 @@ def merge_upsert_generic(spark: SparkSession, table: LakeTable,
         def attempt() -> MergeResult:
             t = table.read(spark, buckets=buckets).alias("t")
             b = batch.alias("b")
-            j = t.join(b, F.col(f"t.{key_col}").eqNullSafe(F.col(f"b.{key_col}")),
+            j = t.join(b, F.col(f"t.{key_col}") == F.col(f"b.{key_col}"),
                        "right" if mor else "full_outer")
             b_wins = _b_wins()
             batch_cols = set(batch.columns)
@@ -284,99 +293,142 @@ def merge_upsert_generic(spark: SparkSession, table: LakeTable,
         batch.unpersist()
 
 
+def fused_resolved_plan(spark: SparkSession, table: LakeTable,
+                        batch: DataFrame, candidates: DataFrame,
+                        buckets: list[int],
+                        value_col: str = "live_until"):
+    """Build the fused merge's pre-write relation + Observation (shared
+    by merge_upsert_and_enrich and the bench's plan-explain harness).
+
+    r7 shape (guide §2.4 "remove shuffles outright"): ONE resolved read
+    of the target and TWO equi-joins where the r6 plan had a second
+    (skinny) target resolution, a candidates join and a bump join-back:
+
+    - candidates fold per key FIRST (map-side-combined collect_list of
+      (seq, value) — the enrichment stream is a small fraction of the
+      epoch, so the fold is cheap and the per-key array is tiny);
+    - the fold full-outer-joins the BATCH (both sides already hash-
+      partitioned on doc_id by their producing aggregations — zero new
+      exchange), so the candidate array rides the batch side;
+    - one full-outer join against the resolved target, then the bump is
+      a higher-order expression over the riding array:
+      ``array_max(filter(cand, c -> c.seq >= least(t.first_seq,
+      b.first_seq)).value)`` — exactly the old bump aggregation
+      (max over candidates whose seq ≥ post-merge first_seq; an empty
+      or all-null fold yields null = no bump), evaluated per row with
+      no join. Keys present only in the candidate stream qualify
+      nowhere (update-only semantics): the bump flag requires a target
+      or batch row, which is what the old inner qualification join
+      enforced.
+
+    Join keys are plain ``==`` (not eqNullSafe): null keys cannot reach
+    a merge — the nonce filter (F2) drops them at projection, and every
+    LakeTable merge key is a non-null identity upstream — and the
+    null-safe form wraps the keys in (coalesce, isnull) tuples, which
+    discards the child aggregations' hash partitioning and re-exchanges
+    both full-width sides per epoch (measured plan: 2 extra Exchanges).
+    """
+    t = table.read(spark, buckets=buckets).alias("t")
+    cand_agg = (candidates.groupBy("doc_id")
+                .agg(F.collect_list(
+                    F.struct(F.col("seq").alias("s"),
+                             F.col(value_col).alias("v"))).alias("_cand")))
+    b2 = (batch.alias("bb")
+          .join(cand_agg.alias("cc"),
+                F.col("bb.doc_id") == F.col("cc.doc_id"), "full_outer")
+          .select(F.coalesce(F.col("bb.doc_id"), F.col("cc.doc_id"))
+                  .alias("_bk"),
+                  *[F.col(f"bb.{c}").alias(c) for c in batch.columns
+                    if c != "doc_id"],
+                  F.col("_cand"))
+          .alias("b"))
+    j = t.join(b2, F.col("t.doc_id") == F.col("b._bk"), "full_outer")
+
+    b_wins = _b_wins()
+    is_del = F.col("b.op") == F.lit(OP_DELETE)
+    exists = F.col("t.seq").isNotNull() | F.col("b.seq").isNotNull()
+    fs = F.least(F.col("t.first_seq"), F.col("b.first_seq"))
+    bump = F.array_max(F.transform(
+        F.filter(F.col("b._cand"), lambda c: c["s"] >= fs),
+        lambda c: c["v"]))
+    base_v = F.col(f"t.{value_col}")
+    bumped_flag = (exists & bump.isNotNull()
+                   & (base_v.isNull() | (base_v < bump)))
+
+    def resolve(c: str):
+        if c == "deleted":
+            return (F.when(b_wins, is_del)
+                    .otherwise(F.col("t.deleted")).alias(c))
+        if c == "first_seq":
+            return fs.alias(c)
+        if c == value_col:
+            # batch never carries it; monotonic bump over the base value
+            return F.when(bumped_flag, bump).otherwise(base_v).alias(c)
+        if c in BATCH_VALUE_COLS:
+            return (F.when(b_wins, F.col(f"b.{c}"))
+                    .otherwise(F.col(f"t.{c}")).alias(c))
+        return F.col(f"t.{c}").alias(c)
+
+    target_cols = [f.name for f in table.schema().fields]
+    out_cols = [F.coalesce(F.col("t.doc_id"), F.col("b._bk")).alias("doc_id")]
+    out_cols += [resolve(c) for c in target_cols if c != "doc_id"]
+
+    obs = Observation()
+    resolved = j.select(
+        *out_cols,
+        (F.col("t.seq").isNotNull() & F.col("b.seq").isNotNull())
+        .alias("_matched"),
+        (F.col("t.seq").isNull() & b_wins).alias("_inserted"),
+        (F.col("t.seq").isNotNull() & b_wins).alias("_updated"),
+        bumped_flag.alias("_bumped"),
+        (F.col("b.seq").isNotNull() | bumped_flag).alias("_touched"),
+    ).observe(
+        obs,
+        F.sum(F.col("_matched").cast("long")).alias("matched"),
+        F.sum(F.col("_inserted").cast("long")).alias("inserted"),
+        F.sum(F.col("_updated").cast("long")).alias("updated"),
+        F.sum(F.col("_bumped").cast("long")).alias("bumped"),
+    )
+    return resolved, obs
+
+
 def merge_upsert_and_enrich(spark: SparkSession, table: LakeTable,
                             batch: DataFrame, candidates: DataFrame,
                             value_col: str = "live_until",
-                            mor: bool = False) -> MergeResult:
+                            mor: bool = False,
+                            buckets: list[int] | None = None) -> MergeResult:
     """Fused epoch merge: base LWW upsert AND monotonic enrichment
     resolved in ONE plan with ONE copy-on-write rewrite of the affected
     buckets — semantically identical to merge_upsert_lww followed by
     merge_enrich (the golden suite checks both paths), but with half the
-    target reads/writes per epoch.
+    target reads/writes per epoch. See fused_resolved_plan for the r7
+    physical shape (one target resolve, two equi-joins, bump as a
+    higher-order expression).
 
-    The enrichment qualification needs the POST-base-merge ``first_seq``
-    per key; rather than materializing the wide merged relation twice,
-    it is recomputed on a skinny (doc_id, first_seq) projection — parquet
-    column pruning makes that second target read nearly free, and the
-    bump table joins back into the wide resolve before the single write.
-    """
-    batch = batch.persist()
-    candidates = candidates.persist()
+    ``buckets``: the affected-bucket superset when the caller already
+    knows it (job.apply_change_batch derives it from a column-pruned
+    scan of the raw epoch — far cheaper than materializing the deduped
+    batch twice). When given, batch/candidates are NOT persisted: each
+    is referenced exactly once in the fused plan, so caching them costs
+    a full extra materialization + cache build for zero reuse (the r6
+    plan referenced the batch twice and persisted both inputs). A
+    commit-conflict retry recomputes them — the rare case pays, not
+    every epoch."""
+    own = buckets is None
+    if own:
+        batch = batch.persist()
+        candidates = candidates.persist()
     try:
-        b_buckets = set(_affected_buckets(table, batch))
-        c_buckets = set(_affected_buckets(table, candidates))
-        buckets = sorted(b_buckets | c_buckets)
+        if own:
+            b_buckets = set(_affected_buckets(table, batch))
+            c_buckets = set(_affected_buckets(table, candidates))
+            buckets = sorted(b_buckets | c_buckets)
         if not buckets:
             return MergeResult(version=table.version)
 
         def attempt() -> MergeResult:
-            t = table.read(spark, buckets=buckets).alias("t")
-
-            # skinny post-merge first_seq relation for ttl qualification
-            fs_t = t.select(F.col("doc_id").alias("d"),
-                            F.col("first_seq").alias("f1"))
-            fs_b = batch.select(F.col("doc_id").alias("d"),
-                                F.col("first_seq").alias("f2"))
-            fs = (fs_t.join(fs_b, "d", "full_outer")
-                  .select(F.col("d").alias("doc_id"),
-                          F.least("f1", "f2").alias("_fs")))
-            bump = (fs.join(candidates.alias("c"), "doc_id")
-                    .filter(F.col("c.seq") >= F.col("_fs"))
-                    .groupBy("doc_id")
-                    .agg(F.max(value_col).alias("_bump")))
-
-            b = batch.alias("b")
-            j = (t.join(b, F.col("t.doc_id").eqNullSafe(F.col("b.doc_id")),
-                        "full_outer")
-                 .join(bump.alias("q"),
-                       F.coalesce(F.col("t.doc_id"), F.col("b.doc_id"))
-                       == F.col("q.doc_id"), "left"))
-
-            b_wins = _b_wins()
-            is_del = F.col("b.op") == F.lit(OP_DELETE)
-
-            def resolve(c: str):
-                if c == "deleted":
-                    return (F.when(b_wins, is_del)
-                            .otherwise(F.col("t.deleted")).alias(c))
-                if c == "first_seq":
-                    return F.least(F.col("t.first_seq"),
-                                   F.col("b.first_seq")).alias(c)
-                if c == value_col:
-                    base_v = F.col(f"t.{c}")  # batch never carries it
-                    bumps = (F.col("_bump").isNotNull()
-                             & (base_v.isNull() | (base_v < F.col("_bump"))))
-                    return F.when(bumps, F.col("_bump")).otherwise(base_v) \
-                        .alias(c)
-                if c in BATCH_VALUE_COLS:
-                    return (F.when(b_wins, F.col(f"b.{c}"))
-                            .otherwise(F.col(f"t.{c}")).alias(c))
-                return F.col(f"t.{c}").alias(c)
-
-            target_cols = [f.name for f in table.schema().fields]
-            out_cols = [F.coalesce(F.col("t.doc_id"), F.col("b.doc_id"))
-                        .alias("doc_id")]
-            out_cols += [resolve(c) for c in target_cols if c != "doc_id"]
-
-            base_v = F.col(f"t.{value_col}")
-            bumped_flag = (F.col("_bump").isNotNull()
-                           & (base_v.isNull() | (base_v < F.col("_bump"))))
-            obs = Observation()
-            resolved = j.select(
-                *out_cols,
-                (F.col("t.seq").isNotNull() & F.col("b.seq").isNotNull())
-                .alias("_matched"),
-                (F.col("t.seq").isNull() & b_wins).alias("_inserted"),
-                (F.col("t.seq").isNotNull() & b_wins).alias("_updated"),
-                bumped_flag.alias("_bumped"),
-                (F.col("b.seq").isNotNull() | bumped_flag).alias("_touched"),
-            ).observe(
-                obs,
-                F.sum(F.col("_matched").cast("long")).alias("matched"),
-                F.sum(F.col("_inserted").cast("long")).alias("inserted"),
-                F.sum(F.col("_updated").cast("long")).alias("updated"),
-                F.sum(F.col("_bumped").cast("long")).alias("bumped"),
-            )
+            resolved, obs = fused_resolved_plan(
+                spark, table, batch, candidates, buckets, value_col)
             if mor:
                 # delta carries only the keys this epoch changed (batch
                 # keys + enrichment-bumped keys); untouched rows stay in
@@ -404,8 +456,9 @@ def merge_upsert_and_enrich(spark: SparkSession, table: LakeTable,
 
         return _with_commit_retry(table, attempt)
     finally:
-        batch.unpersist()
-        candidates.unpersist()
+        if own:
+            batch.unpersist()
+            candidates.unpersist()
 
 
 def merge_enrich(spark: SparkSession, table: LakeTable, candidates: DataFrame,
@@ -444,7 +497,7 @@ def merge_enrich(spark: SparkSession, table: LakeTable, candidates: DataFrame,
                     .agg(F.max(value_col).alias("_bump")))
 
             j = t.join(qual.alias("q"),
-                       F.col("t.doc_id").eqNullSafe(F.col("q.doc_id")), "left")
+                       F.col("t.doc_id") == F.col("q.doc_id"), "left")
             bumps = (F.col("_bump").isNotNull()
                      & (F.col(f"t.{value_col}").isNull()
                         | (F.col(f"t.{value_col}") < F.col("_bump"))))

@@ -28,8 +28,8 @@ from ..functions.dedup_text import (exact_duplicates, hamming64,
                                     minhash_candidate_pairs,
                                     minhash_pairs_from_banded, simhash,
                                     word_shingles)
-from ..functions.similarity import (cosine, cosine_batch, cosine_topk,
-                                    cosine_topk_ivf, cosine_topk_lsh)
+from ..functions.similarity import (cosine_topk, cosine_topk_ivf,
+                                    cosine_topk_lsh)
 
 QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -713,15 +713,19 @@ SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 """)
 def except_urgent_custs(spark, sf):
     """Set operation (EXCEPT DISTINCT): customers that ordered but never
-    urgently — the set-difference operator shape (Spark plans a
-    left-anti join over distinct keys; both branches prune to the key
-    column at the scan). Complements the join-form anti join entry with
-    the algebraic set-op form."""
+    urgently. r7 physical shape (guide §2.3 "aggregate before you
+    shuffle"): both EXCEPT branches scan the SAME table, so the
+    set-difference is one grouped flag aggregation — max(is-urgent) per
+    custkey == 0 — instead of two scans, two distinct aggregations and a
+    left-anti join. Identical result set (EXCEPT's null-key row groups
+    the same way); one scan, one map-side-combined exchange."""
     o = _t(spark, sf, "orders")
-    all_c = o.select(F.col("o_custkey").alias("custkey"))
-    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
-              .select(F.col("o_custkey").alias("custkey")))
-    return all_c.subtract(urgent)   # EXCEPT (distinct) ≡ subtract
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    return (o.select(F.col("o_custkey").alias("custkey"),
+                     urgent.alias("_u"))
+            .groupBy("custkey").agg(F.max("_u").alias("_u"))
+            .filter(F.col("_u") == 0)
+            .select("custkey"))
 
 
 # -------------------------------------------------- training-data pipeline
@@ -736,9 +740,13 @@ FROM documents GROUP BY 1
 """)
 def exact_dedup(spark, sf):
     """Exact content dedup: normalized-text fingerprint → canonical id +
-    group size (hash-groupBy; map-side combined)."""
+    group size (hash-groupBy; map-side combined). The repartition (r7)
+    spreads the normalize+md5 projection across the cores — the driver's
+    documents table is one single-row-group parquet file, so without it
+    the whole fingerprint pipeline fuses into a ONE-task scan stage."""
     d = _t(spark, sf, "documents")
-    return exact_duplicates(d)
+    return exact_duplicates(
+        d.repartition(spark.sparkContext.defaultParallelism))
 
 
 @_q("curation_pipeline", f"""
@@ -777,11 +785,23 @@ def curation_pipeline(spark, sf):
     interpolation, broadcast back as a 1-row cross join) → exact dedup
     keeping the canonical (min doc_id) copy. The shapes a 100 TB
     curation run chains — filter pushdown, one quantile aggregation,
-    group-by dedup, semi-join back — in a single Catalyst plan."""
+    group-by dedup — in a single Catalyst plan.
+
+    r7 physical shape: (1) the lang filter stays pushed to the scan,
+    then the survivors repartition across the cores — the driver tables
+    are single-row-group parquet files, so the scan (and the regex
+    quality gate fused into its stage) was otherwise ONE task; (2)
+    canonical-copy selection is a min-doc_id window over the
+    fingerprint instead of the aggregate + join-back, which referenced
+    the whole gated subtree a second time (one more pass of the regex
+    pipeline). Same result set (a kept row IS its group's canonical
+    min), one exchange on the fingerprint."""
+    from ..functions.text import text_fingerprint
     d = _t(spark, sf, "documents")
     t = F.col("text")
     alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
     q = (d.filter(F.col("lang") == "en")
+         .repartition(spark.sparkContext.defaultParallelism)
          .filter(alpha * 10 >= F.length(t) * 5)
          .withColumn("n_tokens", TX.token_count(t)))
     th = q.agg(F.percentile("n_tokens", 0.05).alias("lo"),
@@ -790,9 +810,10 @@ def curation_pipeline(spark, sf):
              .filter((F.col("n_tokens") >= F.col("lo"))
                      & (F.col("n_tokens") <= F.col("hi")))
              .drop("lo", "hi"))
-    canon = (exact_duplicates(gated)
-             .select(F.col("canonical_id").alias("doc_id")))
-    return (gated.join(canon, "doc_id")
+    w = Window.partitionBy("_fp")
+    return (gated.withColumn("_fp", text_fingerprint(t))
+            .withColumn("_canon", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") == F.col("_canon"))
             .select("doc_id", "n_tokens"))
 
 
@@ -939,19 +960,43 @@ def embedding_neardup(spark, sf):
     keeps it runnable at any sf while the production path scales via
     sign-bucket blocking."""
     e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 2000)
-    a = e.select(F.col("vec_id").alias("id_a"),
-                 F.col("label").alias("la"),
-                 F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"),
-                 F.col("label").alias("lb"),
-                 F.col("embedding").alias("vb"))
-    j = (a.join(b, (F.col("la") == F.col("lb"))
-                & (F.col("id_a") < F.col("id_b"))))
-    # bulk pair scoring via the Arrow-batched cosine (the interpreted
-    # zip_with/aggregate form costs ~0.4 ms/pair — 77 s on sf0.1's 200k
-    # candidate pairs; the numpy batch path is ~100× faster)
-    return (j.filter(cosine_batch(F.col("va"), F.col("vb")) >= 0.4)
-            .select("id_a", "id_b"))
+
+    # r7 (guide §4.2 "hand whole batches to vectorized native code"):
+    # score each label block with ONE matmul instead of shipping both
+    # vectors of every candidate pair through Arrow — the r6 self-join +
+    # cosine_batch form moved O(pairs × dim) bytes across the Python
+    # boundary where O(block × dim) suffices (measured: the pair
+    # transfer dominated the entry). Same math as cosine_batch (float64
+    # dot / norms, zero-norm → 0.0 → excluded; invalid rows masked out,
+    # which the pair form excluded via null scores), same id_a < id_b
+    # pair set.
+    def block_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+        ids = pdf["vec_id"].to_numpy()
+        vs = pdf["embedding"].to_numpy()
+        lens = [len(v) if v is not None else -1 for v in vs]
+        pos = [n for n in lens if n >= 0]
+        if not pos:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        vals, counts = np.unique(np.asarray(pos), return_counts=True)
+        dim = int(vals[np.lexsort((vals, counts))[-1]])
+        valid = np.asarray([n == dim for n in lens])
+        ids = ids[valid].astype("int64")
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.stack(vs[valid][order]).astype("float64")
+        n = np.linalg.norm(m, axis=1)
+        den = np.outer(n, n)
+        cos = np.where(den > 0, (m @ m.T) / np.where(den == 0, 1, den), 0.0)
+        iu = np.triu_indices(len(ids), k=1)
+        keep = cos[iu] >= 0.4
+        return pd.DataFrame({"id_a": ids[iu[0]][keep],
+                             "id_b": ids[iu[1]][keep]})
+
+    return (e.select("vec_id", "embedding", "label")
+            .groupBy("label")
+            .applyInPandas(block_pairs, "id_a long, id_b long"))
 
 
 @_q("cosine_knn", """
@@ -966,11 +1011,15 @@ WHERE vec_id != 0
 def cosine_knn(spark, sf):
     """Brute-force cosine similarity search vs the vec_id=0 query
     (threshold form — a deterministic result set, unlike top-k ties)."""
+    from ..functions.similarity import cosine_to_query_batch
     e = _t(spark, sf, "embeddings")
-    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    q = F.array(*[F.lit(float(x)) for x in qv])
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    # Arrow-batched matvec scorer (r7, guide §4.2) — the interpreted
+    # zip_with/aggregate cosine paid the expression interpreter per
+    # element over the whole scan
     scored = e.filter(F.col("vec_id") != 0).select(
-        "vec_id", cosine(F.col("embedding"), q).alias("_s"))
+        "vec_id", cosine_to_query_batch(qv)(F.col("embedding")).alias("_s"))
     return (scored.filter(F.col("_s") >= 0.3)
             .select("vec_id", F.round("_s", 4).alias("score")))
 
@@ -1199,16 +1248,17 @@ def sequence_pack_stats(spark, sf):
     from ..functions.packing import pack_blocks
     d = _t(spark, sf, "documents")
     blocks = pack_blocks(d, block_size=256)
-    full = (blocks.filter("is_full").groupBy("group")
-            .agg(F.count("*").alias("n_blocks")))
-    tail = (blocks.filter(~F.col("is_full"))
-            .select("group", F.size("tokens").alias("tail_len")))
-    return (full.join(tail, "group", "full_outer")
-            .select(F.col("group").alias("lang"),
-                    F.coalesce("n_blocks", F.lit(0)).cast("long")
-                    .alias("n_blocks"),
-                    F.coalesce("tail_len", F.lit(0)).cast("long")
-                    .alias("tail_len")))
+    # ONE aggregation over the packed blocks (r7): the former
+    # full-branch/tail-branch full-outer join referenced `blocks` twice,
+    # so the applyInPandas packing executed twice per run. A (group,
+    # shard) stream has at most one non-full block, so the tail length
+    # is max(size) over non-full blocks (null → no tail → 0) in the
+    # same grouped pass that counts the full ones.
+    return (blocks.groupBy(F.col("group").alias("lang"))
+            .agg(F.sum(F.col("is_full").cast("long")).alias("n_blocks"),
+                 F.coalesce(
+                     F.max(F.when(~F.col("is_full"), F.size("tokens"))),
+                     F.lit(0)).cast("long").alias("tail_len")))
 
 
 @_q("cosine_ivf_recall", """
@@ -1403,8 +1453,12 @@ def simhash_signatures(spark, sf):
     batches/partitions)."""
     from ..functions.text import text_fingerprint
     d = _t(spark, sf, "documents").select("doc_id", "text")
+    # repartition (r7): the documents table is one single-row-group
+    # parquet file, so the simhash Arrow UDF (and the fingerprint regex)
+    # otherwise fuse into 1-task-per-union-branch scan stages
     corpus = d.unionByName(
-        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")) \
+        .repartition(spark.sparkContext.defaultParallelism)
     sigs = simhash(corpus)
     fp = corpus.select("doc_id", text_fingerprint(F.col("text")).alias("fp"))
     j = sigs.join(fp, "doc_id").select(
@@ -1662,15 +1716,21 @@ SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
 """)
 def intersect_urgent_heavy(spark, sf):
     """Set operation (INTERSECT DISTINCT): customers with at least one
-    urgent order AND at least one heavy order — completes the set-op
-    family next to except_urgent_custs (Spark plans a left-semi join
-    over distinct keys; both branches prune to the key at the scan)."""
+    urgent order AND at least one heavy order. r7 physical shape (guide
+    §2.3, same move as except_urgent_custs): both INTERSECT branches
+    scan the same table, so membership-in-both is one grouped
+    two-flag aggregation — max(is-urgent) AND max(is-heavy) per custkey
+    — instead of two scans, two distinct aggregations and a left-semi
+    join. Identical result set; one scan, one exchange."""
     o = _t(spark, sf, "orders")
-    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
-              .select(F.col("o_custkey").alias("custkey")))
-    heavy = (o.filter(F.col("o_totalprice") > 150000)
-             .select(F.col("o_custkey").alias("custkey")))
-    return urgent.intersect(heavy)
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    heavy = F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)
+    return (o.select(F.col("o_custkey").alias("custkey"),
+                     urgent.alias("_u"), heavy.alias("_h"))
+            .groupBy("custkey")
+            .agg(F.max("_u").alias("_u"), F.max("_h").alias("_h"))
+            .filter((F.col("_u") == 1) & (F.col("_h") == 1))
+            .select("custkey"))
 
 
 @_q("stratified_sample_docs", """
@@ -1794,6 +1854,13 @@ def ntile_customer_quartiles(spark, sf):
                  F.min("c_custkey").alias("min_cust")))
 
 
+# two-level training-mix position split: the 32-bit shuffle-hash space
+# divides into this many equal, order-aligned ranges; the only serial
+# step is a running sum over ≤ _MIX_BUCKETS aggregate rows
+_MIX_BUCKETS = 1024
+_MIX_BUCKET_SPAN = 4294967296 // _MIX_BUCKETS
+
+
 @_q("training_mix_order", """
 WITH w AS (
   SELECT doc_id, lang,
@@ -1817,12 +1884,21 @@ def training_mix_order(spark, sf):
     identically, so DuckDB value-oracles the exact positions).
     ``ORDER BY random()`` is neither reproducible nor resumable;
     hash-order is both — re-running the mix yields byte-identical epoch
-    order, and a restarted packing job can seek to position N. At
-    100 TB the global row_number is the one genuinely serial artifact —
-    a real run keeps (shuf, doc_id) as the SORT KEY and lets range
-    partitioning order the output without materializing positions; the
-    explicit pos here is the bounded-test form that lets the oracle
-    pin the full permutation."""
+    order, and a restarted packing job can seek to position N.
+
+    Scale-safe position materialization (r7; VERDICT r6 next-step 3 —
+    the r6 form was a GLOBAL ``row_number() OVER (ORDER BY shuf,
+    doc_id)``, a single-partition exchange of every sampled row at any
+    real scale): positions are two-level. The shuffle key's value space
+    [0, 2^32) splits into ``_MIX_BUCKETS`` fixed, ORDER-ALIGNED ranges
+    (a deterministic arithmetic split — no range-sampling pass, no
+    nondeterminism); per-bucket offsets come from a grouped count whose
+    running sum is the only serial window — over ≤ _MIX_BUCKETS
+    aggregate rows, bounded regardless of data size — and each row's
+    position is offset + rank within its bucket, computed under a
+    PARALLEL per-bucket window. Output identical to the global form
+    (buckets are value-ordered, ties inside a bucket break on doc_id
+    exactly as before)."""
     d = _t(spark, sf, "documents")
     h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) \
         % F.lit(1000)
@@ -1832,7 +1908,16 @@ def training_mix_order(spark, sf):
             .otherwise(60))
     shuf = ((F.col("doc_id") + F.lit(988041)) * F.lit(2654435761)) \
         % F.lit(4294967296)
-    s = d.filter(h < keep).select("doc_id", "lang", shuf.alias("shuf"))
-    w = Window.orderBy("shuf", "doc_id")
-    return s.select(F.row_number().over(w).alias("pos"),
-                    "doc_id", "lang")
+    s = (d.filter(h < keep)
+         .select("doc_id", "lang", shuf.alias("shuf"),
+                 (shuf / F.lit(_MIX_BUCKET_SPAN)).cast("long").alias("_b")))
+    counts = s.groupBy("_b").agg(F.count("*").alias("_n"))
+    off_w = (Window.orderBy("_b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"))
+    in_b = Window.partitionBy("_b").orderBy("shuf", "doc_id")
+    return (s.join(F.broadcast(offsets), "_b")
+            .select((F.col("_off") + F.row_number().over(in_b))
+                    .cast("int").alias("pos"),
+                    "doc_id", "lang"))

@@ -54,7 +54,7 @@ def stream_replay(spark: SparkSession, events_path: str, target: LakeTable,
                   gauges_path: str | None = None,
                   views: list | None = None,
                   view_refresh_every: int = 1,
-                  tokens_codec: str = "array",
+                  tokens_codec: str = "auto",
                   neardup_index=None):
     """Start a streaming replay into ``target``. Returns the
     StreamingQuery; callers drive it with processAllAvailable()/stop()
@@ -103,6 +103,12 @@ def stream_replay(spark: SparkSession, events_path: str, target: LakeTable,
     micro-batches each table expires down to ``expire_keep_last``
     snapshots and sweeps orphans older than ``orphan_age_secs`` — the
     loop is then genuinely bounded at 10^6 micro-batches. 0 disables."""
+    if tokens_codec == "auto":
+        # the stream writes into an EXISTING target: its pinned property
+        # is the only safe answer (the batch job pins the resolved codec
+        # at warehouse creation; re-probing a stream source here could
+        # drift from the bytes on disk)
+        tokens_codec = target.properties.get("tokens_codec", "array")
     reader = (spark.readStream.schema(CHANGE_EVENTS))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

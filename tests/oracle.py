@@ -140,13 +140,33 @@ def rows_to_events(rows) -> list[dict[str, Any]]:
     return out
 
 
+def decode_target_tokens(v, codec: str = "u16"):
+    """Target ``tokens`` cell → list[int] | None. The engine's default
+    codec resolution ("auto") packs eligible vocabularies as u16 binary
+    (JobConfig.tokens_codec); the oracle compares logical token ids, so
+    packed cells are decoded here. Array-codec cells pass through."""
+    if v is None or isinstance(v, list):
+        return v
+    if isinstance(v, tuple):
+        return list(v)
+    if isinstance(v, (bytes, bytearray)):
+        import numpy as np
+        if codec == "u16":
+            return np.frombuffer(bytes(v), dtype="<u2").astype(int).tolist()
+        raise ValueError(f"unexpected packed codec {codec}")
+    return v
+
+
 def state_from_target(rows) -> dict[str, dict[str, Any]]:
-    """Engine target-table rows → comparable {doc_id: row} dict."""
+    """Engine target-table rows → comparable {doc_id: row} dict
+    (packed token payloads decoded — see decode_target_tokens)."""
     out = {}
     for r in rows:
         d = r.asDict(recursive=True) if hasattr(r, "asDict") else dict(r)
         d = {k: (list(v) if isinstance(v, (list, tuple)) else v)
              for k, v in d.items()}
+        if "tokens" in d:
+            d["tokens"] = decode_target_tokens(d["tokens"])
         out[d["doc_id"]] = d
     return out
 

@@ -418,9 +418,10 @@ def test_cli_read_verb_seq_range_and_projection(spark, tmp_path):
 # ----------------------------------------------------- maintenance verbs
 def _fingerprint(spark, wh):
     from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+    from oracle import decode_target_tokens
     rows = LakeTable(os.path.join(wh, "documents")).read(spark).collect()
-    return sorted((r["doc_id"], tuple(r["tokens"] or []), r["seq"],
-                   r["deleted"], r["live_until"]) for r in rows)
+    return sorted((r["doc_id"], tuple(decode_target_tokens(r["tokens"]) or []),
+                   r["seq"], r["deleted"], r["live_until"]) for r in rows)
 
 
 def test_maintenance_verbs(spark, tmp_path):

@@ -28,8 +28,10 @@ def _run(args, **kw):
 
 def _state(spark, wh):
     from stellar_ledger_data_indexer_spark.lake.table import LakeTable
+    from oracle import decode_target_tokens
     rows = LakeTable(os.path.join(wh, "documents")).read(spark).collect()
-    return sorted((r["doc_id"], tuple(r["tokens"] or []), r["seq"], r["pos"],
+    return sorted((r["doc_id"], tuple(decode_target_tokens(r["tokens"]) or []),
+                   r["seq"], r["pos"],
                    r["deleted"], r["live_until"], r["first_seq"])
                   for r in rows)
 

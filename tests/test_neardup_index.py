@@ -232,7 +232,8 @@ def test_ingest_loop_maintains_index(spark, tmp_path):
     # probe: a prefix-twin of an ingested doc must surface as candidate
     victim = job.target.read(spark).filter(
         "NOT deleted AND n_tok >= 24").limit(1).collect()[0]
-    twin = victim["tokens"][:-2]
+    from oracle import decode_target_tokens
+    twin = decode_target_tokens(victim["tokens"])[:-2]
     batch = spark.createDataFrame([("probe1", list(twin))],
                                   "doc_id string, tokens array<int>")
     pairs = idx.candidate_pairs(spark, batch, text_col="tokens")

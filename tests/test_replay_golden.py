@@ -14,8 +14,8 @@ from stellar_ledger_data_indexer_spark.job import IngestJob, JobConfig
 from stellar_ledger_data_indexer_spark.sources.change_stream import (
     StreamSpec, read_change_events, write_change_events)
 
-from oracle import (assert_states_equal, replay_oracle, rows_to_events,
-                    state_from_target)
+from oracle import (assert_states_equal, decode_target_tokens, replay_oracle,
+                    rows_to_events, state_from_target)
 
 SPEC = StreamSpec(n_events=20_000, n_docs=400, events_per_seq=100)
 
@@ -148,7 +148,16 @@ def test_reapplying_committed_epoch_is_noop(spark, events_path, oracle_state,
     from stellar_ledger_data_indexer_spark.operators.merge import (
         merge_enrich, merge_upsert_lww)
     events = read_change_events(spark, events_path, lo, hi)
-    deduped = dedup_lww(project_base(events), first_seq_col="seq")
+    base = project_base(events)
+    codec = job_forced.target.properties.get("tokens_codec", "array")
+    if codec != "array":   # match the warehouse's pinned payload codec
+        from pyspark.sql import functions as F
+
+        from stellar_ledger_data_indexer_spark.functions.token_codec import \
+            encode_tokens
+        base = base.withColumn("tokens",
+                               encode_tokens(F.col("tokens"), codec))
+    deduped = dedup_lww(base, first_seq_col="seq")
     merge_upsert_lww(spark, job_forced.target, deduped)
     merge_enrich(spark, job_forced.target,
                  dedup_enrich_candidates(project_enrich(events)))
@@ -179,13 +188,14 @@ def test_integration_golden_rows(spark, events_path, tmp_path):
     assert (top1["n_tok"], top1["source"], top1["first_seq"],
             top1["deleted"], top1["live_until"]) == (52, "src05", 9,
                                                      False, 6809)
-    assert list(top1["tokens"][:6]) == [12838, 27845, 40795, 28672,
-                                        11701, 42353]
-    assert len(top1["tokens"]) == 52
+    t1 = decode_target_tokens(top1["tokens"])
+    assert list(t1[:6]) == [12838, 27845, 40795, 28672,
+                            11701, 42353]
+    assert len(t1) == 52
     assert (top2["doc_id"], top2["seq"], top2["pos"]) == \
         ("doc00000240", 201, 97)
-    assert list(top2["tokens"][:6]) == [7040, 43297, 39779, 40413,
-                                        35768, 44837]
+    assert list(decode_target_tokens(top2["tokens"])[:6]) == \
+        [7040, 43297, 39779, 40413, 35768, 44837]
 
     enr = rows["doc00000000"]                     # ≙ TTL-enriched assert
     assert (enr["seq"], enr["first_seq"], enr["live_until"]) == \

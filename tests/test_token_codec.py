@@ -75,6 +75,46 @@ def test_codec_payload_sizes(spark):
         assert sz / (100 * 64) <= bound + 1e-9, codec
 
 
+def test_auto_codec_resolution(spark, tmp_path):
+    """tokens_codec='auto' (the default, VERDICT r6 next-step 6): a
+    source whose parquet footer stats prove the vocabulary fits 16 bits
+    resolves to u16 at warehouse creation; a source with an oversized id
+    resolves to array; reopening an existing warehouse always follows
+    the PINNED property regardless of the configured codec."""
+    from stellar_ledger_data_indexer_spark.functions.token_codec import \
+        probe_u16_eligible
+    ev = str(tmp_path / "events")
+    spec = StreamSpec(n_events=3000, n_docs=300, events_per_seq=100,
+                      tok_len_min=4, tok_len_max=16)
+    write_change_events(spark, ev, spec, partitions=2)
+    assert probe_u16_eligible(ev)
+    job = IngestJob(spark, JobConfig(
+        events_path=ev, warehouse=str(tmp_path / "wh_auto"),
+        num_buckets=4, epoch_size=50))
+    assert job.tokens_codec == "u16"
+    assert job.target.properties.get("tokens_codec") == "u16"
+    job.run(start=2, end=0, backfill=True)
+    assert job.target.refresh().schema()["tokens"].dataType.typeName() \
+        == "binary"
+
+    # reopen with a conflicting config: the pinned property wins
+    job2 = IngestJob(spark, JobConfig(
+        events_path=ev, warehouse=str(tmp_path / "wh_auto"),
+        num_buckets=4, epoch_size=50, tokens_codec="array"))
+    assert job2.tokens_codec == "u16"
+
+    # an out-of-range vocabulary falls back to array
+    ev_big = str(tmp_path / "events_big")
+    spec_big = StreamSpec(n_events=2000, n_docs=200, events_per_seq=100,
+                          tok_len_min=4, tok_len_max=16, vocab=90000)
+    write_change_events(spark, ev_big, spec_big, partitions=2)
+    assert not probe_u16_eligible(ev_big)
+    job3 = IngestJob(spark, JobConfig(
+        events_path=ev_big, warehouse=str(tmp_path / "wh_auto_big"),
+        num_buckets=4, epoch_size=50))
+    assert job3.tokens_codec == "array"
+
+
 def test_replay_parity_u16_vs_array(spark, tmp_path):
     """Same stream, two warehouses (array vs u16): decoded u16 state ==
     array state row for row; the packed column is BinaryType on disk
