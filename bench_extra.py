@@ -63,20 +63,19 @@ def _setup(spark, work: str, n_events: int, par: int):
 
 
 def replay_phases(spark, work: str, n_events: int, par: int) -> dict:
-    """One replay with per-epoch phase decomposition. Phases:
-    batch   = epoch scan -> project -> LWW dedup, materialized via persist
-              + bucket discovery (the first two jobs of the real merge)
-    cand    = enrich projection + dedup, same
-    tread   = resolved MoR read of the touched buckets -> noop sink
-    merge   = the real fused merge (read+joins+delta write+commit)
+    """One replay with per-epoch phase decomposition (mirrors the real
+    apply_change_batch orchestration). Phases:
+    dedup   = epoch scan -> project -> LWW dedup -> noop sink (isolated)
+    tread   = resolved MoR read of all buckets -> noop sink (isolated)
+    epoch   = the REAL epoch body (apply_change_batch: bucket discovery
+              + fused merge read+joins+delta write+commit)
     post    = metrics/lineage/checkpoint + hygiene driver work
+    (dedup/tread re-execute work the epoch also does — they are
+    noop-sink isolation probes per guide §1.4, not additive costs)
     """
-    from stellar_ledger_data_indexer_spark.operators.cdc import (
-        project_base, project_enrich, validate_ops)
-    from stellar_ledger_data_indexer_spark.operators.dedup import (
-        dedup_enrich_candidates, dedup_lww)
-    from stellar_ledger_data_indexer_spark.operators.merge import (
-        _affected_buckets, merge_upsert_and_enrich)
+    from stellar_ledger_data_indexer_spark.job import apply_change_batch
+    from stellar_ledger_data_indexer_spark.operators.cdc import project_base
+    from stellar_ledger_data_indexer_spark.operators.dedup import dedup_lww
     from stellar_ledger_data_indexer_spark.sources.change_stream import \
         read_change_events
 
@@ -95,34 +94,30 @@ def replay_phases(spark, work: str, n_events: int, par: int) -> dict:
         ph = {"lo": lo, "hi": hi,
               "shuffle_partitions":
                   int(spark.conf.get("spark.sql.shuffle.partitions"))}
-        events = validate_ops(read_change_events(spark, events_path, lo, hi))
+        events = read_change_events(spark, events_path, lo, hi)
 
-        t0 = time.monotonic()
+        spark.sparkContext.setJobDescription(f"dedup-probe {lo}-{hi}")
         base = project_base(events)
-        deduped = dedup_lww(base, key_cols=("doc_id",),
-                            order_cols=("seq", "pos"),
-                            first_seq_col="seq").persist()
-        buckets = _affected_buckets(job.target, deduped)
-        ph["batch"] = round(time.monotonic() - t0, 3)
-
-        t0 = time.monotonic()
-        cand = dedup_enrich_candidates(project_enrich(events)).persist()
-        _ = _affected_buckets(job.target, cand)
-        ph["cand"] = round(time.monotonic() - t0, 3)
+        if job.tokens_codec != "array":
+            from stellar_ledger_data_indexer_spark.functions.token_codec \
+                import encode_tokens
+            base = base.withColumn(
+                "tokens", encode_tokens(F.col("tokens"), job.tokens_codec))
+        ph["dedup"] = noop(dedup_lww(base, key_cols=("doc_id",),
+                                     order_cols=("seq", "pos"),
+                                     first_seq_col="seq"))
 
         spark.sparkContext.setJobDescription(f"tread {lo}-{hi}")
-        ph["tread"] = noop(job.target.read(spark, buckets=buckets)) \
-            if buckets else 0.0
+        ph["tread"] = noop(job.target.read(spark)) \
+            if job.target.files else 0.0
 
-        spark.sparkContext.setJobDescription(f"merge {lo}-{hi}")
+        spark.sparkContext.setJobDescription(f"epoch {lo}-{hi}")
         t0 = time.monotonic()
-        res = merge_upsert_and_enrich(spark, job.target, deduped, cand,
-                                      mor=True)
-        ph["merge"] = round(time.monotonic() - t0, 3)
+        res, eres, _walls = apply_change_batch(
+            spark, job.target, events, strict_ops=True, mor=True)
+        ph["epoch"] = round(time.monotonic() - t0, 3)
         ph["rows_upserted"] = res.rows_upserted
         ph["bytes_written"] = res.bytes_written
-        deduped.unpersist()
-        cand.unpersist()
         spark.sparkContext.setJobDescription(None)
 
         t0 = time.monotonic()
@@ -132,14 +127,14 @@ def replay_phases(spark, work: str, n_events: int, par: int) -> dict:
         job.lineage.record_from_manifest(spark, lo, job.target, res.buckets,
                                          commit_versions={res.version})
         job.checkpoints.commit(spark, lo, lo, hi, job.target.version,
-                               res.rows_upserted, res.bumped)
+                               res.rows_upserted, eres.updated)
         for log in (job.checkpoints, job.lineage, job.metrics):
             log.table.fold_rows()
         ph["post"] = round(time.monotonic() - t0, 3)
         out.append(ph)
     return {"epochs": out,
             "totals": {k: round(sum(e[k] for e in out), 3)
-                       for k in ("batch", "cand", "tread", "merge", "post")}}
+                       for k in ("dedup", "tread", "epoch", "post")}}
 
 
 def explain_merge(spark, work: str, n_events: int, par: int) -> str:

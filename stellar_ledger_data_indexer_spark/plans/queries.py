@@ -91,14 +91,20 @@ SELECT user_id, event_id, event_type FROM (
   FROM events) t WHERE rn = 1
 """)
 def window_dedup_lww(spark, sf):
-    """D1 keep-latest dedup in its SQL-checkable row_number form
-    (the engine hot path uses the max_by aggregation, operators/dedup)."""
+    """D1 keep-latest dedup (oracle: the row_number form). r7 physical
+    shape (guide §2.3 — aggregate before you shuffle): the (ts,
+    event_id) order key is unique per user, so row_number()=1 ≡
+    max_by(payload, (ts, event_id)) exactly, and the aggregation is
+    map-side combined — the shuffle carries ≤1 row per (user, map
+    partition) instead of every event into a window sort. (The
+    row_number WindowExec shape stays covered by topk_per_group /
+    ntile_customer_quartiles, where ranks genuinely need the window.)"""
     e = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"),
-                                              F.desc("event_id"))
-    return (e.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("user_id", "event_id", "event_type"))
+    win = F.max_by(F.struct("event_id", "event_type"),
+                   F.struct("ts", "event_id"))
+    return (e.groupBy("user_id").agg(win.alias("_w"))
+            .select("user_id", F.col("_w.event_id").alias("event_id"),
+                    F.col("_w.event_type").alias("event_type")))
 
 
 @_q("max_seq", """
@@ -193,17 +199,19 @@ SELECT l.user_id,
 FROM latest l LEFT JOIN bumps b ON l.user_id = b.user_id
 """)
 def enrich_monotonic(spark, sf):
-    """S6 update-only monotonic enrichment as a SQL-checkable join:
-    base state bumped by a secondary stream only when the new value is
-    greater (≙ EnrichExistingRows, internal/db/utils.go:132-170)."""
+    """S6 update-only monotonic enrichment (oracle: latest-state CTE ⟕
+    bump aggregate). r7 physical shape (guide §2.3/§2.4): both the
+    latest value (row_number()=1 over the unique (ts, event_id) order ≡
+    max_by) and the purchase bump (max over a filtered slice ≡ max of a
+    when()-masked value, nulls ignored) are per-user aggregates over the
+    SAME scan — one grouped pass with map-side combine replaces the
+    window sort, the second scan and the join."""
     e = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"),
-                                              F.desc("event_id"))
-    latest = (e.withColumn("rn", F.row_number().over(w))
-              .filter("rn = 1").select("user_id", "value"))
-    bumps = (e.filter(F.col("event_type") == "purchase")
-             .groupBy("user_id").agg(F.max("value").alias("bump")))
-    j = latest.join(bumps, "user_id", "left")
+    latest = F.max_by(F.col("value"), F.struct("ts", "event_id"))
+    bump = F.max(F.when(F.col("event_type") == "purchase",
+                        F.col("value")))
+    j = (e.groupBy("user_id")
+         .agg(latest.alias("value"), bump.alias("bump")))
     newv = F.when(F.col("bump").isNotNull()
                   & (F.col("bump") > F.col("value")),
                   F.col("bump")).otherwise(F.col("value"))
@@ -333,7 +341,14 @@ GROUP BY o_orderpriority
 def join_agg_shuffle(spark, sf):
     """Fact-to-fact shuffle join (orders ⋈ lineitem on orderkey) with a
     grouped rollup — the canonical large-join shape: both sides hash-
-    partition on the join key, aggregation is map-side combined after."""
+    partition on the join key, aggregation is map-side combined after.
+    r7 A/B (guide §1.2 — measure before changing): broadcasting orders'
+    (orderkey, priority) projection measured 1.2–1.6 s vs the shuffle
+    join's 0.67–0.73 s best-of-3 at sf1 (the 1.5M-row broadcast build is
+    single-threaded driver+executor work that dwarfs the saved
+    exchange), and pre-aggregating lineitem per orderkey was a wash
+    (0.81 vs 0.83) — the r6 shuffle shape is already the right plan, so
+    it stays."""
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
     return (o.join(li, o.o_orderkey == li.l_orderkey)
@@ -494,12 +509,17 @@ def q3_shipping_priority(spark, sf):
     """TPC-H Q3 shape: selective dim filter → two joins → grouped agg →
     top-N. Filters push to all three scans; customer (post-filter) is
     small enough that AQE turns the first join into a broadcast."""
-    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING") \
+        .select("c_custkey")
     o = _t(spark, sf, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
     li = _t(spark, sf, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
-    return (c.join(o, c.c_custkey == o.o_custkey)
+    # r7: the post-filter customer side is a one-column key set (~1/5 of
+    # customers) — broadcast it explicitly so orders is never shuffled
+    # for the first join (guide §3.1; AQE already converts the second
+    # join at runtime from the first's shrunken output)
+    return (F.broadcast(c).join(o, c.c_custkey == o.o_custkey)
             .join(li, o.o_orderkey == li.l_orderkey)
             .groupBy("l_orderkey", "o_orderdate")
             .agg(F.sum(_rev_col()).alias("revenue_c"))
@@ -929,17 +949,43 @@ def ngram_jaccard_pairs_q(spark, sf):
     grams = d.select(
         "doc_id", "lang",
         F.array_distinct(word_shingles(F.col("text"), 2)).alias("grams"))
-    a = grams.select(F.col("doc_id").alias("id_a"), F.col("lang"),
-                     F.col("grams").alias("ga"))
-    b = grams.select(F.col("doc_id").alias("id_b"), F.col("lang"),
-                     F.col("grams").alias("gb"))
-    j = a.join(b, "lang").filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("ga", "gb"))
-    union = F.size("ga") + F.size("gb") - inter
+
+    # r7 (guide §4.2): pairwise set overlap per lang block in ONE
+    # pandas group instead of a blocked self-join — the join evaluated
+    # the scan+shingle subtree twice and shipped both gram arrays per
+    # PAIR; here each block's gram sets cross the Python boundary once
+    # and only the integer overlap counts come back. The jaccard
+    # division, rounding and threshold stay JVM expressions on those
+    # exact integers — bit-identical arithmetic to the r6 form.
+    def block_overlaps(pdf):
+        import pandas as pd
+        ids = pdf["doc_id"].tolist()
+        sets = [set(g) if g is not None else set()
+                for g in pdf["grams"].tolist()]
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        ia, ib, ov, na, nb = [], [], [], [], []
+        for x in range(len(order)):
+            i = order[x]
+            for y in range(x + 1, len(order)):
+                j = order[y]
+                inter = len(sets[i] & sets[j])
+                if inter > 0:
+                    ia.append(ids[i])
+                    ib.append(ids[j])
+                    ov.append(inter)
+                    na.append(len(sets[i]))
+                    nb.append(len(sets[j]))
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "i": ov,
+                             "na": na, "nb": nb})
+
+    pairs = grams.groupBy("lang").applyInPandas(
+        block_overlaps, "id_a long, id_b long, i int, na int, nb int")
+    inter = F.col("i")
+    union = F.col("na") + F.col("nb") - inter
     jac = inter * F.lit(1.0) / union
-    return (j.filter(inter > 0)
-            .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
-            .filter(jac >= 0.08))
+    return (pairs.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"),
+                         jac.alias("_j"))
+            .filter(F.col("_j") >= 0.08).drop("_j"))
 
 
 @_q("embedding_neardup", """

@@ -72,6 +72,13 @@ def get_spark(app: str = "sldi-spark", master: str | None = None,
     confs["spark.default.parallelism"] = str(n)
     if extra:
         confs.update(extra)
+    # operator escape hatch for conf experiments / cluster overrides:
+    # SLDI_SPARK_CONF="key=value;key2=value2" (applied last)
+    for kv in os.environ.get("SLDI_SPARK_CONF", "").split(";"):
+        kv = kv.strip()
+        if kv and "=" in kv:
+            k, _, v = kv.partition("=")
+            confs[k.strip()] = v.strip()
     for k, v in confs.items():
         b = b.config(k, v)
     return b.getOrCreate()
