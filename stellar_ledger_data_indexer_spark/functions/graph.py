@@ -78,7 +78,12 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                       .drop("_old")
                       .persist())
         new_labels.count()   # materialize round k (collects obs too)
-        changed = int(obs.get["chg"] or 0)
+        # _obs_metrics: an edge-less call makes every round runtime-empty,
+        # AQE propagates the empty relation over the CollectMetrics node
+        # and the observation never materializes — absent metrics mean
+        # zero rows changed, which also terminates correctly
+        from ..operators.merge import _obs_metrics
+        changed = int(_obs_metrics(obs).get("chg") or 0)
         labels.unpersist()
         labels = new_labels
         if changed == 0:

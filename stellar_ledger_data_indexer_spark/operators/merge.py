@@ -109,6 +109,23 @@ def _with_commit_retry(table: LakeTable, attempt_fn) -> "MergeResult":
             table.refresh()
 
 
+def _obs_metrics(obs) -> dict:
+    """Observation metrics with an empty-merge fallback. When every row
+    of a merge resolves away at runtime (e.g. an epoch whose base events
+    are all nonces and whose enrichment candidates qualify nowhere), AQE
+    empty-relation propagation collapses the runtime-empty stage and the
+    CollectMetrics node is optimized out of the executed plan — the JVM
+    then hands ``Observation.get`` a schemaless empty row that toPyRow
+    rejects with an AssertionError. The metrics are only ever read AFTER
+    the write action committed, so the failure is purely metric
+    retrieval, and the true metrics of an empty merge ARE zero: absent
+    metrics map to {} (callers default each counter to 0)."""
+    try:
+        return obs.get
+    except Exception:      # noqa: BLE001 — Py4J error, node optimized away
+        return {}
+
+
 def _b_wins():
     """LWW condition, lexicographic on (seq, pos): strictly-newer seq wins;
     an equal seq falls back to intra-seq input order — the reference keeps
@@ -198,7 +215,7 @@ def merge_upsert_lww(spark: SparkSession, table: LakeTable,
             else:
                 version = table.overwrite_buckets(
                     final, buckets, summary={"op": "merge_upsert_lww"})
-            m = obs.get
+            m = _obs_metrics(obs)
             return MergeResult(version=version,
                                matched=int(m.get("matched") or 0),
                                inserted=int(m.get("inserted") or 0),
@@ -279,7 +296,7 @@ def merge_upsert_generic(spark: SparkSession, table: LakeTable,
             else:
                 version = table.overwrite_buckets(
                     final, buckets, summary={"op": "merge_upsert_generic"})
-            m = obs.get
+            m = _obs_metrics(obs)
             return MergeResult(version=version,
                                matched=int(m.get("matched") or 0),
                                inserted=int(m.get("inserted") or 0),
@@ -444,7 +461,7 @@ def merge_upsert_and_enrich(spark: SparkSession, table: LakeTable,
             else:
                 version = table.overwrite_buckets(
                     final, buckets, summary={"op": "merge_upsert_and_enrich"})
-            m = obs.get
+            m = _obs_metrics(obs)
             return MergeResult(version=version,
                                matched=int(m.get("matched") or 0),
                                inserted=int(m.get("inserted") or 0),
@@ -525,7 +542,7 @@ def merge_enrich(spark: SparkSession, table: LakeTable, candidates: DataFrame,
             else:
                 version = table.overwrite_buckets(
                     final, buckets, summary={"op": "merge_enrich"})
-            m = obs.get
+            m = _obs_metrics(obs)
             return MergeResult(version=version,
                                updated=int(m.get("bumped") or 0),
                                buckets=buckets,
