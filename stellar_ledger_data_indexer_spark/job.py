@@ -141,6 +141,12 @@ def apply_change_batch(spark: SparkSession, target: LakeTable, events,
     t0 = now()
     base = project_base(events)
     if tokens_codec != "array":
+        # encode BEFORE the dedup shuffle: moving the codec after dedup
+        # (1/3 the rows through the Python boundary, array<int> through
+        # the shuffle) was A/B'd at 20M events and LOST decisively —
+        # best-of-3 replay 58.6 s vs 36.8 s — the 4 B/elem + header
+        # UnsafeArrayData rows through exchange and max_by dominate the
+        # saved Arrow round-trips (r7; guide §2.3 "narrower types").
         from .functions.token_codec import encode_tokens
         base = base.withColumn(
             "tokens", encode_tokens(F.col("tokens"), tokens_codec))

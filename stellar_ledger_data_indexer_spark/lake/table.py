@@ -566,6 +566,24 @@ class LakeTable:
                 out = out.unionByName(p)
             return finish(out.select(*cur_names))
 
+        if mode == "agg":
+            # newest-commit-wins as max_by aggregation: every commit
+            # writes ≤1 row per key, so the newest row is
+            # max_by(payload, _csq) per key — a hash aggregation (no
+            # per-partition sort). Kept as an A/B mode: measured a WASH
+            # against the window form at 20M-event replay scale (36.1 vs
+            # 36.8 s best-of-3 — the wide payload struct through the agg
+            # buffer costs what the sort saves), so the window form
+            # stays the default.
+            key = self.bucket_col
+            src = mapped(files, True)
+            payload = F.struct(*[F.col(c) for c in cur_names if c != key])
+            out = (src.groupBy(key)
+                   .agg(F.max_by(payload, F.col("_csq")).alias("_row"))
+                   .select(F.col(key),
+                           *[F.col(f"_row.{c}").alias(c)
+                             for c in cur_names if c != key]))
+            return finish(out.select(*cur_names))
         from pyspark.sql import Window
         w = (Window.partitionBy(self.bucket_col)
              .orderBy(F.desc("_csq")))

@@ -342,14 +342,21 @@ def join_agg_shuffle(spark, sf):
     """Fact-to-fact shuffle join (orders ⋈ lineitem on orderkey) with a
     grouped rollup — the canonical large-join shape: both sides hash-
     partition on the join key, aggregation is map-side combined after.
-    r7 A/B (guide §1.2 — measure before changing): broadcasting orders'
-    (orderkey, priority) projection measured 1.2–1.6 s vs the shuffle
-    join's 0.67–0.73 s best-of-3 at sf1 (the 1.5M-row broadcast build is
-    single-threaded driver+executor work that dwarfs the saved
-    exchange), and pre-aggregating lineitem per orderkey was a wash
-    (0.81 vs 0.83) — the r6 shuffle shape is already the right plan, so
-    it stays."""
-    o = _t(spark, sf, "orders")
+    r7 A/B (guide §1.2/§3.1 — measure, then pick the strategy
+    DELIBERATELY): broadcasting orders' (orderkey, priority) projection
+    measured 1.2–1.6 s vs the shuffle join's 0.67–0.73 s best-of-3 at
+    sf1 (the 1.5M-row broadcast build is single-threaded
+    driver+executor work that dwarfs the saved exchange) — yet left to
+    itself Catalyst CHOOSES that broadcast whenever the two-column
+    orders projection estimates under autoBroadcastJoinThreshold, which
+    flips with scale factor (measured auto plan at sf1-like: BHJ
+    BuildLeft, 1.61 s). The SHUFFLE_HASH hint pins the measured winner
+    (0.86 s vs merge-hint 0.91 s — no sort, orders is the per-partition
+    build side) independent of size estimates; at cluster scale the
+    per-partition build is |orders|/shuffle-partitions with AQE sizing
+    the partitions. Pre-aggregating lineitem per orderkey was a wash
+    (0.81 vs 0.83) and stays out."""
+    o = _t(spark, sf, "orders").hint("shuffle_hash")
     li = _t(spark, sf, "lineitem")
     return (o.join(li, o.o_orderkey == li.l_orderkey)
             .groupBy("o_orderpriority")
@@ -418,11 +425,24 @@ def rollup_pricing(spark, sf):
     Rolled-up keys surface as the 'ALL' sentinel (not NULL) so the
     result rows stay totally orderable for the driver's compare."""
     li = _t(spark, sf, "lineitem")
-    return (li.filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
-            .rollup("l_returnflag", "l_linestatus")
-            .agg(F.count("*").alias("n"),
-                 F.sum(F.floor("l_quantity").cast("bigint")).alias("sum_qty"),
-                 F.sum(_rev_col()).alias("revenue_c"))
+    # r7 (guide §2.3 — aggregate before you shuffle/Expand): ROLLUP
+    # plans an Expand that triplicates every input row before the
+    # aggregation; grouping to the ~6 (returnflag, linestatus) partials
+    # FIRST and rolling those up feeds the Expand 6 rows instead of the
+    # whole filtered table. COUNT re-aggregates as SUM of partial
+    # counts; integer sums commute, so the result is bit-identical
+    # (asserted row-set-equal in the A/B; oracle unchanged). Measured
+    # 0.49 → 0.44 s at sf1-like (cube, with its 4-way lattice and no
+    # date filter, gains more — see cube_returns_status).
+    partial = (li.filter(F.col("l_shipdate")
+                         <= F.lit("1998-12-01").cast("timestamp"))
+               .groupBy("l_returnflag", "l_linestatus")
+               .agg(F.count("*").alias("_n"),
+                    F.sum(F.floor("l_quantity").cast("bigint")).alias("_sq"),
+                    F.sum(_rev_col()).alias("_rev")))
+    return (partial.rollup("l_returnflag", "l_linestatus")
+            .agg(F.sum("_n").alias("n"), F.sum("_sq").alias("sum_qty"),
+                 F.sum("_rev").alias("revenue_c"))
             .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
                     F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
                     "n", "sum_qty", "revenue_c"))
@@ -444,9 +464,16 @@ def cube_returns_status(spark, sf):
     orderable for the driver compare (same convention as
     rollup_pricing)."""
     li = _t(spark, sf, "lineitem")
-    return (li.cube("l_returnflag", "l_linestatus")
-            .agg(F.count("*").alias("n"),
-                 F.sum(F.floor("l_quantity").cast("bigint")).alias("sum_qty"))
+    # r7 (guide §2.3): CUBE's Expand quadruples every input row; group
+    # to the ~6 (returnflag, linestatus) partials first and cube THOSE
+    # — the lattice re-aggregates partial counts/sums (integer sums
+    # commute; row-set equality asserted in the A/B, oracle unchanged).
+    # Measured 0.73 → 0.49 s at sf1-like.
+    partial = (li.groupBy("l_returnflag", "l_linestatus")
+               .agg(F.count("*").alias("_n"),
+                    F.sum(F.floor("l_quantity").cast("bigint")).alias("_sq")))
+    return (partial.cube("l_returnflag", "l_linestatus")
+            .agg(F.sum("_n").alias("n"), F.sum("_sq").alias("sum_qty"))
             .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
                     F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
                     "n", "sum_qty"))
@@ -482,12 +509,24 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem l
 """)
 def anti_join_unordered_parts(spark, sf):
     """Anti join: parts never ordered in bulk (NOT EXISTS ≡ left_anti).
-    The quantity predicate pushes to the probe-side scan; every part has
+    The quantity predicate pushes to the lineitem scan; every part has
     SOME order in this corpus, so the unpredicated form would pass
-    vacuously on 0 = 0 (non-emptiness asserted in tests)."""
+    vacuously on 0 = 0 (non-emptiness asserted in tests).
+
+    r7 (guide §3.1 — broadcast the side that fits, explicitly, because
+    size ESTIMATES after a filter are wrong): the quantity filter keeps
+    ~2% of lineitem and the join needs only its key column, but
+    Catalyst estimates the filtered side from the full scan and plans a
+    sort-merge join of both sides (AQE did not convert at run time
+    either). Broadcasting the filtered key projection measured 0.37 s
+    vs 0.60 s SMJ at sf1-like — part is never shuffled at all. The
+    build side stays a small fraction of lineitem at every scale; where
+    it outgrows broadcast (multi-GB key sets) the SMJ form Catalyst
+    falls back to is the one this replaces."""
     p = _t(spark, sf, "part")
-    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 49)
-    return (p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 49) \
+        .select("l_partkey")
+    return (p.join(F.broadcast(li), p.p_partkey == li.l_partkey, "left_anti")
             .select("p_partkey"))
 
 
@@ -536,11 +575,14 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
 def semi_join_heavy_parts(spark, sf):
     """Semi join (EXISTS ≡ left_semi) — the mirror of the anti-join
     entry: parts with at least one near-max-quantity order line. The
-    probe-side predicate pushes to the scan; the build side carries only
-    the join key (no payload reaches the output)."""
+    lineitem predicate pushes to the scan; the build side carries only
+    the join key (no payload reaches the output). r7: same explicit
+    broadcast of the filtered key projection as the anti entry
+    (measured 0.36 s vs 0.60 s SMJ at sf1-like; rationale there)."""
     p = _t(spark, sf, "part")
-    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 49)
-    return (p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 49) \
+        .select("l_partkey")
+    return (p.join(F.broadcast(li), p.p_partkey == li.l_partkey, "left_semi")
             .select("p_partkey"))
 
 
@@ -760,13 +802,15 @@ FROM documents GROUP BY 1
 """)
 def exact_dedup(spark, sf):
     """Exact content dedup: normalized-text fingerprint → canonical id +
-    group size (hash-groupBy; map-side combined). The repartition (r7)
-    spreads the normalize+md5 projection across the cores — the driver's
-    documents table is one single-row-group parquet file, so without it
-    the whole fingerprint pipeline fuses into a ONE-task scan stage."""
+    group size (hash-groupBy; map-side combined). No repartition before
+    the fingerprint projection (r7 re-measure, guide §1.2): the round-
+    robin shuffle of the full text column costs more than the one-task
+    scan it parallelizes at BOTH measured scales (0.89 → 0.29 s at
+    sf0.1, 1.14 → 0.69 s at sf1-like, same-window best-of-4) — the
+    normalize+md5 arithmetic is cheaper than moving the text once, and
+    the groupBy's own exchange ships only (16-byte fingerprint, id)."""
     d = _t(spark, sf, "documents")
-    return exact_duplicates(
-        d.repartition(spark.sparkContext.defaultParallelism))
+    return exact_duplicates(d)
 
 
 @_q("curation_pipeline", f"""
@@ -807,34 +851,42 @@ def curation_pipeline(spark, sf):
     curation run chains — filter pushdown, one quantile aggregation,
     group-by dedup — in a single Catalyst plan.
 
-    r7 physical shape: (1) the lang filter stays pushed to the scan,
-    then the survivors repartition across the cores — the driver tables
-    are single-row-group parquet files, so the scan (and the regex
-    quality gate fused into its stage) was otherwise ONE task; (2)
-    canonical-copy selection is a min-doc_id window over the
-    fingerprint instead of the aggregate + join-back, which referenced
-    the whole gated subtree a second time (one more pass of the regex
-    pipeline). Same result set (a kept row IS its group's canonical
-    min), one exchange on the fingerprint."""
+    r7 physical shape (second pass, measured guide §1.2): the regex
+    gate + token count + fingerprint are computed in ONE pass over the
+    scan and the 3-column survivor projection (doc_id, n_tokens, _fp —
+    no text) is materialized with ``localCheckpoint``, so the quantile
+    aggregate and the gated stream both read the cheap materialized
+    form instead of re-running the regex subtree (Catalyst executes a
+    twice-referenced subtree twice; guide §3.3's "materialise an
+    intermediate" case). Fresh per invocation — nothing survives the
+    query, every bench rep recomputes from parquet. Canonical-copy
+    selection is a min_by aggregation on the fingerprint (map-side
+    combined, no window sort); an earlier repartition before the regex
+    stage was re-measured as a net LOSS at both scales (moving the text
+    column costs more than the 1-task scan it parallelizes — same
+    verdict as exact_dedup) and removed. Same-window best-of-4:
+    1.19 → 0.57 s at sf0.1, 1.59 → 1.04 s at sf1-like."""
     from ..functions.text import text_fingerprint
     d = _t(spark, sf, "documents")
     t = F.col("text")
     alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
     q = (d.filter(F.col("lang") == "en")
-         .repartition(spark.sparkContext.defaultParallelism)
          .filter(alpha * 10 >= F.length(t) * 5)
-         .withColumn("n_tokens", TX.token_count(t)))
+         .withColumn("n_tokens", TX.token_count(t))
+         .withColumn("_fp", text_fingerprint(t))
+         .select("doc_id", "n_tokens", "_fp")
+         .localCheckpoint())
     th = q.agg(F.percentile("n_tokens", 0.05).alias("lo"),
                F.percentile("n_tokens", 0.95).alias("hi"))
     gated = (q.crossJoin(F.broadcast(th))
              .filter((F.col("n_tokens") >= F.col("lo"))
                      & (F.col("n_tokens") <= F.col("hi")))
              .drop("lo", "hi"))
-    w = Window.partitionBy("_fp")
-    return (gated.withColumn("_fp", text_fingerprint(t))
-            .withColumn("_canon", F.min("doc_id").over(w))
-            .filter(F.col("doc_id") == F.col("_canon"))
-            .select("doc_id", "n_tokens"))
+    return (gated.groupBy("_fp")
+            .agg(F.min_by(F.struct("doc_id", "n_tokens"),
+                          F.col("doc_id")).alias("_r"))
+            .select(F.col("_r.doc_id").alias("doc_id"),
+                    F.col("_r.n_tokens").alias("n_tokens")))
 
 
 @_q("token_count", """
@@ -1499,12 +1551,13 @@ def simhash_signatures(spark, sf):
     batches/partitions)."""
     from ..functions.text import text_fingerprint
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    # repartition (r7): the documents table is one single-row-group
-    # parquet file, so the simhash Arrow UDF (and the fingerprint regex)
-    # otherwise fuse into 1-task-per-union-branch scan stages
+    # no repartition before the simhash/fingerprint stage (r7
+    # re-measure): shuffling the full text column costs more than the
+    # 1-task-per-union-branch scan it parallelizes (0.57 → 0.40 s at
+    # sf0.1, 0.67 → 0.54 s at sf1-like, same-window best-of-4) — the
+    # downstream join exchange carries only (id, fp, sig)
     corpus = d.unionByName(
-        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")) \
-        .repartition(spark.sparkContext.defaultParallelism)
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
     sigs = simhash(corpus)
     fp = corpus.select("doc_id", text_fingerprint(F.col("text")).alias("fp"))
     j = sigs.join(fp, "doc_id").select(
