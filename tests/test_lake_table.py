@@ -265,13 +265,15 @@ def test_mor_resolve_modes_parity(spark, tmp_path):
                 for r in t.read(spark, **kw).collect()}
 
     win, loc = state(resolve="window"), state(resolve="bucket_local")
-    assert win == loc and len(win) == 31   # 30 base docs + "extra"
+    agg = state(resolve="agg")   # r7: max_by-aggregation form (A/B mode)
+    assert win == loc == agg and len(win) == 31   # 30 base docs + "extra"
     assert win["doc3"] == (3, 34, 900)
     assert win["doc7"] == (2, 77, None)
     bval = spark.range(1).select(
         t.bucket_expr(F.lit("doc3")).alias("b")).collect()[0]["b"]
     assert state(resolve="window", buckets=[bval]) \
-        == state(resolve="bucket_local", buckets=[bval])
+        == state(resolve="bucket_local", buckets=[bval]) \
+        == state(resolve="agg", buckets=[bval])
 
 
 def test_seq_range_read_prunes_files_and_pushes_filter(spark, tmp_path):
