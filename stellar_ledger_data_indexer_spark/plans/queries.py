@@ -556,10 +556,15 @@ def q3_shipping_priority(spark, sf):
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
     # r7: the post-filter customer side is a one-column key set (~1/5 of
     # customers) — broadcast it explicitly so orders is never shuffled
-    # for the first join (guide §3.1; AQE already converts the second
-    # join at runtime from the first's shrunken output)
-    return (F.broadcast(c).join(o, c.c_custkey == o.o_custkey)
-            .join(li, o.o_orderkey == li.l_orderkey)
+    # for the first join (guide §3.1). r7 second pass: the orders ⋈
+    # lineitem join gets a SHUFFLE_HASH hint on the shrunken
+    # (customer ⋈ orders) side — the default sort-merge pays two sorts
+    # the hash build avoids (measured 1.12 → 0.83 s at sf1-like,
+    # identical top-10; the build side is the date+segment-filtered
+    # order set, a fraction of lineitem per partition at any scale).
+    co = F.broadcast(c).join(o, c.c_custkey == o.o_custkey) \
+        .hint("shuffle_hash")
+    return (co.join(li, o.o_orderkey == li.l_orderkey)
             .groupBy("l_orderkey", "o_orderdate")
             .agg(F.sum(_rev_col()).alias("revenue_c"))
             .orderBy(F.desc("revenue_c"), F.asc("l_orderkey"))
